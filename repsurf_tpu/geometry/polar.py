@@ -1,0 +1,47 @@
+"""Coordinate transforms (spherical / cylindrical).
+
+TPU re-implementation of classification/modules/polar_utils.py:10-54 (the
+segmentation twin is mathematically identical).  NaN guards are done with
+``jnp.where`` on *safe inputs* so gradients stay finite (JAX's where-grad
+rule would otherwise poison gradients through a NaN branch).
+"""
+
+import jax.numpy as jnp
+
+_PI = jnp.pi
+
+
+def xyz2sphere(xyz, normalize=True):
+    """XYZ -> (rho, theta, phi).
+
+    theta in [0, pi] (angle from +z), phi in [-pi, pi]; when ``normalize``,
+    theta -> theta/pi in [0,1] and phi -> phi/(2 pi) + 0.5 in [0,1].
+    rho == 0 yields theta = 0 (reference NaN guard, polar_utils.py:24-25).
+
+    Args:
+      xyz: [..., 3].
+    Returns:
+      [..., 3] spherical coordinates.
+    """
+    rho = jnp.sqrt(jnp.sum(jnp.square(xyz), axis=-1, keepdims=True))
+    safe_rho = jnp.where(rho == 0, 1.0, rho)
+    z = jnp.clip(xyz[..., 2:3] / safe_rho, -1.0, 1.0)
+    theta = jnp.where(rho == 0, 0.0, jnp.arccos(z))  # [0, pi]
+    phi = jnp.arctan2(xyz[..., 1:2], xyz[..., 0:1])  # [-pi, pi]
+    if normalize:
+        theta = theta / _PI
+        phi = phi / (2 * _PI) + 0.5
+    return jnp.concatenate([rho, theta, phi], axis=-1)
+
+
+def xyz2cylind(xyz, normalize=True):
+    """XYZ -> (rho_xy, phi, z); mirrors polar_utils.py:34-54 (unused by the
+    reference models but part of the library surface)."""
+    rho = jnp.sqrt(jnp.sum(jnp.square(xyz[..., :2]), axis=-1, keepdims=True))
+    rho = jnp.clip(rho, 0.0, 1.0)
+    phi = jnp.arctan2(xyz[..., 1:2], xyz[..., 0:1])
+    z = jnp.clip(xyz[..., 2:3], -1.0, 1.0)
+    if normalize:
+        phi = phi / (2 * _PI) + 0.5
+        z = (z + 1.0) / 2.0
+    return jnp.concatenate([rho, phi, z], axis=-1)

@@ -1,0 +1,83 @@
+"""Umbrella triangle-fan construction.
+
+TPU re-implementation of group_by_umbrella / group_by_umbrella_v2
+(classification/modules/repsurface_utils.py:112-132,
+segmentation/modules/repsurface_utils.py:71-122): kNN around every point,
+center-relative coordinates, sort neighbors by azimuth phi, pair each with its
+roll-by-1 successor and the centroid => oriented triangle fans.
+
+Layout quirk preserved: the classification pipeline drops the self-neighbor
+(``[:, :, 1:]`` after kNN, k -> k-1 fans) while the segmentation pipeline
+keeps all k columns — the self point (distance 0) forms degenerate fans that
+the repair step overwrites.  ``drop_self`` selects between the two.
+"""
+
+import jax.numpy as jnp
+
+from ..ops.gather import index_points, resort_points
+from ..ops.neighbors import knn
+from .polar import xyz2sphere
+
+
+def fixed_rotation_matrix():
+    """45 deg about y then 45 deg about z, composed for row-vector points —
+    the frame used by group_by_umbrella_v2 (segmentation
+    repsurface_utils.py:71-74) to break axis-aligned sorting degeneracies."""
+    import numpy as np
+
+    c = s = float(np.sqrt(0.5))
+    ry = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], np.float64)
+    rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], np.float64)
+    return jnp.asarray(ry @ rz, dtype=jnp.float32)
+
+
+def group_by_umbrella(xyz, new_xyz, k=9, valid=None, sort_rotation=None, drop_self=False):
+    """Build umbrella triangle fans around every query point.
+
+    Args:
+      xyz: [B, N, 3] cloud searched for neighbors.
+      new_xyz: [B, M, 3] fan centers (the reference always passes the same
+        cloud for both).
+      k: static int, kNN size (group_size + 1 in the reference configs).
+      valid: optional [B] counts for xyz.
+      sort_rotation: None for the plain variant; a [3, 3] rotation matrix
+        (e.g. ``fixed_rotation_matrix()``) for the v2 'fix' variant that
+        computes the sorting azimuth in a rotated frame.
+      drop_self: True for the classification pipeline (kNN column 0 — the
+        query itself — is removed, k -> k-1 fans).
+
+    Returns:
+      [B, M, G, 3, 3] fan vertex coordinates relative to each center, where
+      G = k - 1 (``drop_self``) resp. k; vertex 0 is the centroid (origin).
+    """
+    idx, _ = knn(k, xyz, new_xyz, valid=valid)
+    if drop_self:
+        idx = idx[:, :, 1:]
+    group_xyz = index_points(xyz, idx)  # [B, M, G, 3]
+    return _fans_from_neighbors(group_xyz, new_xyz, sort_rotation)
+
+
+def group_by_umbrella_idx(xyz, new_xyz, idx, sort_rotation=None):
+    """Same as group_by_umbrella but with precomputed kNN indices."""
+    group_xyz = index_points(xyz, idx)
+    return _fans_from_neighbors(group_xyz, new_xyz, sort_rotation)
+
+
+def _fans_from_neighbors(group_xyz, new_xyz, sort_rotation):
+    group_norm = group_xyz - new_xyz[:, :, None, :]  # center-relative
+    if sort_rotation is not None:
+        phi_frame = group_norm @ sort_rotation
+    else:
+        phi_frame = group_norm
+    phi = xyz2sphere(phi_frame)[..., 2]  # [B, M, G]
+    order = jnp.argsort(phi, axis=-1).astype(jnp.int32)
+    sorted_xyz = resort_points(group_norm, order)  # [B, M, G, 3]
+    rolled = jnp.roll(sorted_xyz, -1, axis=2)
+    centroid = jnp.zeros_like(sorted_xyz)
+    # vertex axis: (centroid, neighbor_i, neighbor_{i+1})
+    return jnp.stack([centroid, sorted_xyz, rolled], axis=-2)
+
+
+def drop_self_column(group_xyz_idx):
+    """Classification-pipeline helper: drop kNN column 0 (the self point)."""
+    return group_xyz_idx[:, :, 1:]

@@ -1,0 +1,27 @@
+"""Point-cloud operator library (the TPU equivalent of the reference's
+``pointops`` CUDA extensions — see SURVEY.md §2a/2b).
+
+All ops are batched over a leading B dimension, use static shapes, and take
+an optional ``valid: [B]`` count for padded batches.
+"""
+
+from .gather import index_points, resort_points
+from .interpolate import interpolate_weights, three_interpolate
+from .masking import BIG_DIST2, counts_to_mask, full_counts
+from .neighbors import ball_query, knn
+from .sampling import farthest_point_sample
+from .sector import sectorized_fps
+
+__all__ = [
+    "BIG_DIST2",
+    "ball_query",
+    "counts_to_mask",
+    "farthest_point_sample",
+    "full_counts",
+    "index_points",
+    "interpolate_weights",
+    "knn",
+    "resort_points",
+    "sectorized_fps",
+    "three_interpolate",
+]
