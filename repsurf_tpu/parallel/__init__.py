@@ -1,0 +1,21 @@
+"""Multi-device parallelism: mesh construction, data sharding, DP training."""
+
+from .mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

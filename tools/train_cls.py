@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Classification training CLI — the TPU counterpart of
+classification/tool/train_cls_scanobjectnn.py.
+
+Example (reference recipe):
+  python tools/train_cls.py --data_dir ./data/ScanObjectNN \
+      --model repsurf.repsurf_ssg_umb --batch_size 64 --epoch 250 \
+      --group_size 8 --umb_pool sum --num_point 1024
+Use --synthetic to smoke-run without the dataset.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser("RepSurf-TPU classification")
+    p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--data_dir", type=str, default="./data")
+    p.add_argument("--log_root", type=str, default="./log")
+    p.add_argument("--model", default="repsurf.repsurf_ssg_umb")
+    p.add_argument("--seed", type=int, default=2800)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--optimizer", type=str, default="Adam")
+    p.add_argument("--epoch", default=250, type=int)
+    p.add_argument("--learning_rate", default=0.001, type=float)
+    p.add_argument("--decay_rate", type=float, default=1e-4)
+    p.add_argument("--decay_step", default=20, type=int)
+    p.add_argument("--init", type=str, default=None)
+    p.add_argument("--min_val", type=int, default=100)
+    p.add_argument("--aug_scale", action="store_true", default=False)
+    p.add_argument("--aug_shift", action="store_true", default=False)
+    p.add_argument("--num_point", type=int, default=1024)
+    p.add_argument("--return_dist", action="store_true", default=True)
+    p.add_argument("--return_center", action="store_true", default=True)
+    p.add_argument("--return_polar", action="store_true", default=True)
+    p.add_argument("--group_size", type=int, default=8)
+    p.add_argument("--umb_pool", type=str, default="sum")
+    p.add_argument("--synthetic", action="store_true", default=False,
+                   help="train on synthetic clouds (no dataset needed)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from repsurf_tpu.data.scanobjectnn import ScanObjectNNDataset, SyntheticClouds
+    from repsurf_tpu.train.checkpoint import BestCheckpointer
+    from repsurf_tpu.train.train_cls import (
+        ClsConfig,
+        create_state,
+        evaluate,
+        train_epoch,
+    )
+    from repsurf_tpu.utils import get_logger, set_seed
+
+    cfg = ClsConfig(
+        model=args.model,
+        batch_size=args.batch_size,
+        epoch=args.epoch,
+        optimizer=args.optimizer,
+        learning_rate=args.learning_rate,
+        decay_rate=args.decay_rate,
+        decay_step=args.decay_step,
+        min_val=args.min_val,
+        seed=args.seed,
+        aug_scale=args.aug_scale,
+        aug_shift=args.aug_shift,
+        num_point=args.num_point,
+        return_dist=args.return_dist,
+        return_center=args.return_center,
+        return_polar=args.return_polar,
+        group_size=args.group_size,
+        umb_pool=args.umb_pool,
+        init_type=args.init,
+    )
+
+    log_dir = os.path.join(
+        args.log_root, "ScanObjectNN", args.log_dir or "default", "logs"
+    )
+    ckpt_dir = os.path.join(
+        args.log_root, "ScanObjectNN", args.log_dir or "default", "checkpoints"
+    )
+    logger = get_logger(log_dir, "train_cls")
+    logger.info(cfg)
+
+    import numpy as np
+
+    root_key = set_seed(cfg.seed)
+    if args.synthetic:
+        train_set = SyntheticClouds(n_samples=512, seed=0)
+        test_set = SyntheticClouds(n_samples=128, seed=1)
+    else:
+        data_path = os.path.join(args.data_dir, "ScanObjectNN")
+        train_set = ScanObjectNNDataset(data_path, split="training")
+        test_set = ScanObjectNNDataset(data_path, split="test")
+    logger.info(f"train={len(train_set)} test={len(test_set)}")
+
+    state = create_state(cfg, key=root_key)
+    ckpt = BestCheckpointer(ckpt_dir)
+    host_rng = np.random.RandomState(cfg.seed)
+
+    best_sing, best_vote = 0.0, 0.0
+    for epoch in range(cfg.epoch):
+        key = jax.random.fold_in(root_key, epoch)
+        state, loss, acc = train_epoch(state, train_set, cfg, epoch, key, rng=host_rng)
+        logger.info(
+            f"epoch {epoch + 1}/{cfg.epoch} loss {loss:.4f} acc {acc * 100:.2f}"
+        )
+        if epoch >= cfg.min_val:
+            sing, vote = evaluate(state, test_set, cfg, jax.random.fold_in(key, 999))
+            best_sing = max(best_sing, sing)
+            if vote >= best_vote:
+                best_vote = vote
+                ckpt.maybe_save(
+                    vote, epoch + 1, {"params": state.params, "batch_stats": state.batch_stats}
+                )
+            logger.info(
+                f"single {sing * 100:.2f} (best {best_sing * 100:.2f}) "
+                f"vote {vote * 100:.2f} (best {best_vote * 100:.2f})"
+            )
+    logger.info("done")
+
+
+if __name__ == "__main__":
+    main()

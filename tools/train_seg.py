@@ -1,0 +1,231 @@
+#!/usr/bin/env python3
+"""Segmentation training CLI — the TPU counterpart of segmentation/tool/train.py.
+
+Single process drives all local devices: batches are sharded over the data
+mesh inside the jitted step (no mp.spawn / DDP — SURVEY.md §2g).
+
+Example (reference recipe):
+  python tools/train_seg.py --data_dir ./data/S3DIS/trainval_fullarea \
+      --model repsurf.repsurf_umb_ssg --batch_size 8 --epoch 100 \
+      --freeze_epoch 10 --color_contrast --color_shift --color_jitter --hs_shift
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser("RepSurf-TPU segmentation")
+    p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--log_root", type=str, default="./log")
+    p.add_argument("--data_dir", type=str, default="./data/S3DIS/trainval_fullarea")
+    p.add_argument("--dataset", type=str, default="S3DIS")
+    p.add_argument("--model", default="repsurf.repsurf_umb_ssg")
+    p.add_argument("--seed", type=int, default=2000)
+    p.add_argument("--epoch", default=100, type=int)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_size_val", type=int, default=8)
+    p.add_argument("--optimizer", type=str, default="AdamW")
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--learning_rate", default=0.006, type=float)
+    p.add_argument("--lr_decay", type=float, default=0.1)
+    p.add_argument("--lr_decay_epochs", type=int, default=[60, 80], nargs="+")
+    p.add_argument("--data_norm", type=str, default="mean")
+    p.add_argument("--min_val", type=int, default=60)
+    p.add_argument("--val_freq", type=int, default=1)
+    p.add_argument("--test_area", type=int, default=5)
+    p.add_argument("--voxel_max", type=int, default=80000)
+    p.add_argument("--voxel_size", type=float, default=0.04)
+    p.add_argument("--loop", type=int, default=30)
+    p.add_argument("--aug_scale", action="store_true", default=False)
+    p.add_argument("--aug_rotate", type=str, default=None)
+    p.add_argument("--aug_jitter", action="store_true", default=False)
+    p.add_argument("--aug_flip", action="store_true", default=False)
+    p.add_argument("--aug_shift", action="store_true", default=False)
+    p.add_argument("--color_contrast", action="store_true", default=False)
+    p.add_argument("--color_shift", action="store_true", default=False)
+    p.add_argument("--color_jitter", action="store_true", default=False)
+    p.add_argument("--hs_shift", action="store_true", default=False)
+    p.add_argument("--color_drop", action="store_true", default=False)
+    p.add_argument("--group_size", type=int, default=8)
+    p.add_argument("--return_polar", action="store_true", default=False)
+    p.add_argument("--freeze_epoch", default=int(1e6), type=int)
+    p.add_argument("--n_devices", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from repsurf_tpu.config.presets import S3DIS_AUG_ARGS
+    from repsurf_tpu.data.aug import coord_transform_from_flags, rgb_transform_from_flags
+    from repsurf_tpu.data.s3dis import CLASS_WEIGHTS, S3DISDataset, pad_batch
+    from repsurf_tpu.nn.metrics import iou_from_counts
+    from repsurf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from repsurf_tpu.train.checkpoint import BestCheckpointer
+    from repsurf_tpu.train.train_seg import (
+        SegConfig,
+        create_state,
+        eval_step,
+        is_frozen,
+        set_epoch_lr,
+        train_step,
+    )
+    from repsurf_tpu.utils import StepTimer, get_logger, set_seed
+
+    cfg = SegConfig(
+        model=args.model,
+        test_area=args.test_area,
+        batch_size=args.batch_size,
+        batch_size_val=args.batch_size_val,
+        epoch=args.epoch,
+        optimizer=args.optimizer,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        momentum=args.momentum,
+        lr_decay=args.lr_decay,
+        lr_decay_epochs=tuple(args.lr_decay_epochs),
+        min_val=args.min_val,
+        val_freq=args.val_freq,
+        freeze_epoch=args.freeze_epoch,
+        seed=args.seed,
+        voxel_size=args.voxel_size,
+        voxel_max=args.voxel_max,
+        data_norm=args.data_norm,
+        loop=args.loop,
+        group_size=args.group_size,
+        return_polar=args.return_polar,
+        aug_scale=args.aug_scale,
+        aug_rotate=args.aug_rotate,
+        aug_jitter=args.aug_jitter,
+        aug_flip=args.aug_flip,
+        aug_shift=args.aug_shift,
+        color_contrast=args.color_contrast,
+        color_shift=args.color_shift,
+        color_jitter=args.color_jitter,
+        hs_shift=args.hs_shift,
+        color_drop=args.color_drop,
+    )
+
+    exp = os.path.join(args.log_root, "S3DIS", args.log_dir or "default")
+    logger = get_logger(os.path.join(exp, "logs"), "train_seg")
+    logger.info(cfg)
+
+    root_key = set_seed(cfg.seed)
+    mesh = make_mesh(args.n_devices)
+    n_dev = len(mesh.devices.flatten())
+    assert cfg.batch_size % n_dev == 0 or cfg.batch_size < n_dev, (
+        f"batch {cfg.batch_size} not divisible over {n_dev} devices"
+    )
+    logger.info(f"devices: {n_dev}, mesh: {mesh}")
+
+    coord_t = coord_transform_from_flags(cfg, S3DIS_AUG_ARGS)
+    rgb_t = rgb_transform_from_flags(cfg)
+    train_set = S3DISDataset(
+        args.data_dir,
+        "train",
+        test_area=cfg.test_area,
+        loop=cfg.loop,
+        voxel_size=cfg.voxel_size,
+        voxel_max=cfg.voxel_max,
+        coord_transform=coord_t,
+        rgb_transform=rgb_t,
+        shuffle_index=True,
+    )
+    val_set = S3DISDataset(
+        args.data_dir,
+        "val",
+        test_area=cfg.test_area,
+        loop=cfg.loop,
+        voxel_size=cfg.voxel_size,
+        voxel_max=cfg.voxel_max,
+    )
+    logger.info(f"train rooms={len(train_set.rooms)} val rooms={len(val_set.rooms)}")
+
+    state = create_state(cfg, n_points=cfg.voxel_max, key=root_key)
+    state = replicate(state, mesh)
+    class_weight = replicate(
+        jnp.asarray(CLASS_WEIGHTS[cfg.test_area], jnp.float32), mesh
+    )
+    ckpt = BestCheckpointer(os.path.join(exp, "checkpoints"))
+    host_rng = np.random.RandomState(cfg.seed)
+    best_iou = 0.0
+
+    def batches(ds, bs, shuffle):
+        order = np.arange(len(ds))
+        if shuffle:
+            host_rng.shuffle(order)
+        for s in range(0, len(order) - bs + 1, bs):
+            samples = [ds.get(i, rng=host_rng) for i in order[s : s + bs]]
+            yield pad_batch(samples, cfg.voxel_max, cfg.ignore_label)
+
+    for epoch in range(cfg.epoch):
+        state = set_epoch_lr(state, cfg, epoch)
+        freeze = is_frozen(cfg, epoch)
+        timer = StepTimer()
+        tot = np.zeros((3, cfg.num_class))
+        losses = []
+        for i, batch in enumerate(batches(train_set, cfg.batch_size, True)):
+            timer.data_loaded()
+            batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
+            state, loss, (inter, union, target) = train_step(
+                state, batch, class_weight, key, cfg, freeze=freeze
+            )
+            losses.append(float(loss))
+            tot += np.stack(
+                [np.asarray(inter), np.asarray(union), np.asarray(target)]
+            )
+            timer.step_done()
+            if (i + 1) % 50 == 0:
+                logger.info(
+                    f"epoch {epoch + 1} [{i + 1}] loss {np.mean(losses):.4f} "
+                    f"batch {timer.batch.avg:.3f}s"
+                )
+        miou, macc, allacc = iou_from_counts(*map(jnp.asarray, tot))
+        logger.info(
+            f"train epoch {epoch + 1}: mIoU/mAcc/OA "
+            f"{float(miou) * 100:.2f}/{float(macc) * 100:.2f}/{float(allacc) * 100:.2f}"
+        )
+
+        if epoch + 1 > cfg.min_val and (epoch + 1) % cfg.val_freq == 0:
+            tot = np.zeros((3, cfg.num_class))
+            vlosses = []
+            for batch in batches(val_set, cfg.batch_size_val, False):
+                batch = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+                )
+                loss, _, (inter, union, target) = eval_step(
+                    state, batch, class_weight, cfg
+                )
+                vlosses.append(float(loss))
+                tot += np.stack(
+                    [np.asarray(inter), np.asarray(union), np.asarray(target)]
+                )
+            miou, macc, allacc = iou_from_counts(*map(jnp.asarray, tot))
+            logger.info(
+                f"val epoch {epoch + 1}: mIoU/mAcc/OA "
+                f"{float(miou) * 100:.2f}/{float(macc) * 100:.2f}/"
+                f"{float(allacc) * 100:.2f} loss {np.mean(vlosses):.4f}"
+            )
+            if float(miou) > best_iou:
+                best_iou = float(miou)
+                ckpt.maybe_save(
+                    best_iou,
+                    epoch + 1,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                )
+                logger.info(f"best mIoU -> {best_iou * 100:.2f}")
+
+    logger.info(f"done; best mIoU {best_iou * 100:.2f}")
+
+
+if __name__ == "__main__":
+    main()
