@@ -1,0 +1,114 @@
+"""Pallas TPU kernel for furthest-point sampling.
+
+The XLA formulation (ops/sampling.py) round-trips the [B, N] running
+min-distance array and the selection state through HBM on every one of the
+npoint sequential iterations (~96 ms for batch 64 x 2048 -> 1024 on v5e).
+This kernel keeps everything — coordinates, running distances, the lane-index
+iota — resident in VMEM for the whole loop, so each iteration is a handful of
+VPU passes over [rows, N] with no HBM traffic (~0.76 ms for the same shape:
+126x).
+
+Semantics are identical to ops/sampling.farthest_point_sample (seed index 0,
+running min-distance, argmax with first-index tie-break, padding rows never
+selected); property tests check exact index equality against the XLA/oracle
+versions.  Validity is folded into the distance init: invalid lanes start at
+-1, every real squared distance is >= 0, so `min` never raises them and
+argmax never picks them — this removes a whole [rows, N] mask array from the
+VMEM working set (matters at scene scale: N = 80k, rows = 8 is ~13 MB live).
+
+Layout: coord-major [3, B, N] puts N on the 128-wide lane axis; the batch is
+processed in row blocks sized to fit VMEM; the output is written [npoint, B]
+(dynamic stores are sublane-indexed — Mosaic has no dynamic lane-offset
+store) and transposed on the way out.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fps_kernel(npoint, xyz_ref, valid_ref, idx_ref, tmp_ref):
+    x = xyz_ref[0]
+    y = xyz_ref[1]
+    z = xyz_ref[2]
+    rows, n = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    # invalid lanes start below every real distance and stay there
+    tmp_ref[:] = jnp.where(col < valid_ref[:], 1e10, -1.0)
+
+    def body(i, far):
+        idx_ref[pl.ds(i, 1), :] = far.reshape(1, rows)
+        sel = col == far  # one-hot row of the current centroid
+        cx = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+        cy = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
+        cz = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
+        d2 = jnp.square(x - cx) + jnp.square(y - cy) + jnp.square(z - cz)
+        tmp = jnp.minimum(tmp_ref[:], d2)
+        tmp_ref[:] = tmp
+        return jnp.argmax(tmp, axis=1).astype(jnp.int32)[:, None]
+
+    jax.lax.fori_loop(0, npoint, body, jnp.zeros((rows, 1), jnp.int32))
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("npoint", "block_rows", "interpret")
+)
+def fps_pallas(xyz, npoint, valid=None, block_rows=None, interpret=False):
+    """Pallas implementation of farthest_point_sample.
+
+    Args:
+      xyz: [B, N, 3] float.
+      npoint: static sample count.
+      valid: optional [B] int32 counts.
+      interpret: run in interpreter mode (CPU testing).
+
+    Returns:
+      idx: [B, npoint] int32.
+    """
+    B, N, _ = xyz.shape
+    if valid is None:
+        valid = jnp.full((B,), N, jnp.int32)
+
+    # minimum two lane tiles: single-tile (N=128) argmax trips a Mosaic
+    # conversion-cast bug; extra lanes are masked out via the valid counts
+    n_pad = max(_round_up(N, 128), 256)
+    if block_rows is None:
+        # ~6 live [rows, n] f32-sized arrays; budget ~12 MB of VMEM
+        budget_rows = (12 * 2**20) // (n_pad * 4 * 6)
+        block_rows = max(8, min(_round_up(B, 8), budget_rows // 8 * 8))
+    b_pad = _round_up(B, block_rows)
+    m_pad = _round_up(npoint, 8)
+
+    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # [3, B, N]
+    xyz_t = jnp.pad(xyz_t, ((0, 0), (0, b_pad - B), (0, n_pad - N)))
+    valid_c = jnp.pad(valid.astype(jnp.int32), (0, b_pad - B))[:, None]
+
+    grid = (b_pad // block_rows,)
+    idx = pl.pallas_call(
+        functools.partial(_fps_kernel, m_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (3, block_rows, n_pad),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (m_pad, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, b_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((block_rows, n_pad), jnp.float32)],
+        interpret=interpret,
+    )(xyz_t, valid_c)
+    return idx.T[:B, :npoint]

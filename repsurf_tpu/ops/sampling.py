@@ -32,8 +32,9 @@ from .masking import counts_to_mask
 
 
 @functools.partial(jax.jit, static_argnames=("npoint",))
-def farthest_point_sample(xyz, npoint, valid=None):
-    """Batched masked FPS.
+def farthest_point_sample_xla(xyz, npoint, valid=None):
+    """Batched masked FPS — pure-XLA formulation (CPU path / oracle twin of
+    the Pallas kernel, mirroring the reference's cuda=False fallbacks).
 
     Args:
       xyz: [B, N, 3] float coordinates (padding rows arbitrary).
@@ -65,3 +66,17 @@ def farthest_point_sample(xyz, npoint, valid=None):
     seed = jnp.zeros((B,), dtype=jnp.int32)
     _, _, idx = jax.lax.fori_loop(0, npoint, body, (tmp0, seed, idx0))
     return idx
+
+
+def farthest_point_sample(xyz, npoint, valid=None, impl="auto"):
+    """Batched masked FPS; dispatches to the Pallas VMEM-resident kernel on
+    TPU (~126x the XLA loop; see ops/pallas/fps.py) and the XLA loop
+    elsewhere.  Both produce identical indices.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .pallas.fps import fps_pallas
+
+        return fps_pallas(xyz, npoint, valid=valid)
+    return farthest_point_sample_xla(xyz, npoint, valid=valid)

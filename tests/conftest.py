@@ -4,7 +4,14 @@ reference lacked — SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the machine environment pins JAX_PLATFORMS=axon
+# (remote TPU tunnel) and tests must run on the 8-virtual-device CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache: full-model CPU compiles take minutes on this
+# host; cache them across test runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -77,7 +77,9 @@ class TestSegmentor:
     def _inputs(self, rng, B=2, N=256):
         pos = jnp.asarray((rng.rand(B, N, 3) * 2 - 1).astype(np.float32))
         rgb = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
-        valid = jnp.asarray(np.array([N, N // 2], np.int32))
+        counts = np.full((B,), N, np.int32)
+        counts[1:] = N // 2
+        valid = jnp.asarray(counts)
         return pos, rgb, valid
 
     def test_repsurf_seg_forward(self, rng):

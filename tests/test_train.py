@@ -85,8 +85,13 @@ class TestSegTrainer:
         return train_seg.SegConfig(voxel_max=256, batch_size=2, num_sector=2)
 
     @pytest.fixture(scope="class")
-    def state(self, cfg):
+    def _base_state(self, cfg):
         return train_seg.create_state(cfg, n_points=256, key=jax.random.PRNGKey(0))
+
+    @pytest.fixture
+    def state(self, _base_state):
+        # train_step donates its state argument — hand each test a fresh copy
+        return jax.tree_util.tree_map(jnp.copy, _base_state)
 
     def test_steps_reduce_loss(self, cfg, state, rng):
         batch = {k: jnp.asarray(v) for k, v in _seg_batch(rng).items()}
@@ -103,9 +108,9 @@ class TestSegTrainer:
         batch = {k: jnp.asarray(v) for k, v in _seg_batch(rng).items()}
         w = jnp.ones((cfg.num_class,), jnp.float32)
         before = jax.tree_util.tree_map(
-            lambda x: x.copy(), state.params["surface_constructor"]
+            jnp.copy, state.params["surface_constructor"]
         )
-        other_before = state.params["sa1"]
+        other_before = jax.tree_util.tree_map(jnp.copy, state.params["sa1"])
         new_state, _, _ = train_seg.train_step(
             state, batch, w, jax.random.PRNGKey(0), cfg, freeze=True
         )
