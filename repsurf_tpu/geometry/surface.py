@@ -106,10 +106,12 @@ def repair_invalid_group(bad, *tensors):
     Returns:
       tuple of repaired tensors (same order).
     """
+    from ..ops.gather import select_group
+
     first_ok = jnp.argmax(~bad, axis=-1)  # [B, N]
     out = []
     for t in tensors:
-        repl = jnp.take_along_axis(t, first_ok[..., None, None], axis=2)
+        repl = select_group(t, first_ok)[:, :, None, :]
         out.append(jnp.where(bad[..., None], repl, t))
     return tuple(out)
 
