@@ -9,6 +9,7 @@ from .pointnet2_seg import PointNet2Segmentor, pointnet2_ssg
 from .pointtransformer_seg import PointTransformerSegmentor, pointtransformer
 from .repsurf_cls import (
     RepSurfClassifier,
+    repsurf_ssg_tri,
     repsurf_ssg_umb,
     repsurf_ssg_umb_2x,
 )
@@ -18,6 +19,7 @@ _REGISTRY = {
     # classification
     "repsurf.repsurf_ssg_umb": repsurf_ssg_umb,
     "repsurf.repsurf_ssg_umb_2x": repsurf_ssg_umb_2x,
+    "repsurf.repsurf_ssg_tri": repsurf_ssg_tri,
     # segmentation
     "repsurf.repsurf_umb_ssg": repsurf_umb_ssg,
     "pointnet2.pointnet2_ssg": pointnet2_ssg,
@@ -52,6 +54,7 @@ __all__ = [
     "get_model",
     "pointnet2_ssg",
     "register_model",
+    "repsurf_ssg_tri",
     "repsurf_ssg_umb",
     "repsurf_ssg_umb_2x",
     "repsurf_umb_ssg",

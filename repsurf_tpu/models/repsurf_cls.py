@@ -13,8 +13,10 @@ from flax import linen as nn
 
 from ..nn.blocks import SurfaceAbstractionCD, UmbrellaSurfaceConstructor
 from ..nn.layers import Linear, MaskedBatchNorm
+from ..nn.triangular import SurfaceConstructor
 
 REPSURF_CHANNEL = 10
+TRIANGULAR_CHANNEL = 7  # normal(3) + center(3) + plane constant(1)
 
 
 class _ClsHead(nn.Module):
@@ -48,6 +50,7 @@ class RepSurfClassifier(nn.Module):
     return_center: bool = True
     return_polar: bool = True
     random_inv: bool = True
+    constructor: str = "umbrella"  # umbrella | triangular
     axis_name: Optional[str] = None
 
     # architecture (reference repsurf_ssg_umb.py:22-30)
@@ -65,16 +68,27 @@ class RepSurfClassifier(nn.Module):
         center = points[..., :3]
         pos_channel = 6 if self.return_polar else 3
 
-        normal = UmbrellaSurfaceConstructor(
-            k=self.group_size + 1,
-            in_channel=REPSURF_CHANNEL,
-            style="cls",
-            aggr_type=self.umb_pool,
-            return_dist=self.return_dist,
-            random_inv=self.random_inv,
-            axis_name=self.axis_name,
-            name="surface_constructor",
-        )(center, train=train)
+        if self.constructor == "umbrella":
+            normal = UmbrellaSurfaceConstructor(
+                k=self.group_size + 1,
+                in_channel=REPSURF_CHANNEL,
+                style="cls",
+                aggr_type=self.umb_pool,
+                return_dist=self.return_dist,
+                random_inv=self.random_inv,
+                axis_name=self.axis_name,
+                name="surface_constructor",
+            )(center, train=train)
+        else:
+            # triangular variant: per-point triangle normal/center(+const)
+            # features (the paper's non-umbrella path)
+            parts = SurfaceConstructor(
+                k=3,
+                return_dist=self.return_dist,
+                random_inv=self.random_inv,
+                name="surface_constructor",
+            )(center)
+            normal = jnp.concatenate(parts, axis=-1)
 
         feature = None
         for i, (npoint, radius, nsample, mlp) in enumerate(
@@ -114,6 +128,11 @@ class RepSurfClassifier(nn.Module):
 def repsurf_ssg_umb(num_class=15, **kw):
     """Reference recipe repsurf_ssg_umb (classification/README.md:73-80)."""
     return RepSurfClassifier(num_class=num_class, **kw)
+
+
+def repsurf_ssg_tri(num_class=15, **kw):
+    """Triangular RepSurf classifier (triangle-based surface construction)."""
+    return RepSurfClassifier(num_class=num_class, constructor="triangular", **kw)
 
 
 def repsurf_ssg_umb_2x(num_class=15, **kw):
