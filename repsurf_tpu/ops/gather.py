@@ -18,6 +18,9 @@ JAX autodiff (the transpose of the contraction is another contraction).
 import jax
 import jax.numpy as jnp
 
+# max Q*N for the one-hot gather route (~64M one-hot elements per channel)
+_ONEHOT_MAX_QN = 1 << 26
+
 
 def _gather_onehot(points, flat_idx):
     """points [B, N, C] float, flat_idx [B, Q] -> [B, Q, C] via MXU."""
@@ -56,9 +59,14 @@ def index_points(points, idx):
     else:
         raise ValueError(f"idx must be rank 2 or 3, got {idx.ndim}")
 
+    # The one-hot contraction costs O(Q*N) MACs — a bargain against the
+    # scalar gather at classification scale, an explosion at scene scale
+    # (Q=640k x N=80k would be ~50 G one-hot elements per channel).  Fall
+    # back to the native gather above the threshold.
     use_mxu = (
         jax.default_backend() == "tpu"
         and jnp.issubdtype(points.dtype, jnp.floating)
+        and flat_idx.shape[1] * points.shape[1] <= _ONEHOT_MAX_QN
     )
     flat = (
         _gather_onehot(points, flat_idx)

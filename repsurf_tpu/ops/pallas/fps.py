@@ -11,7 +11,10 @@ VPU passes over [rows, N] with no HBM traffic (~0.76 ms for the same shape:
 Semantics are identical to ops/sampling.farthest_point_sample (seed index 0,
 running min-distance, argmax with first-index tie-break, padding rows never
 selected); property tests check exact index equality against the XLA/oracle
-versions.  Validity is folded into the distance init: invalid lanes start at
+versions.  One benign exception: once a sample's valid points are exhausted
+(npoint > valid[b]) the remaining slots repeat already-selected points, and
+Mosaic's argmax may break the all-zero tie differently than XLA — those
+slots are masked by callers via m_valid either way.  Validity is folded into the distance init: invalid lanes start at
 -1, every real squared distance is >= 0, so `min` never raises them and
 argmax never picks them — this removes a whole [rows, N] mask array from the
 VMEM working set (matters at scene scale: N = 80k, rows = 8 is ~13 MB live).
@@ -35,13 +38,18 @@ def _fps_kernel(npoint, xyz_ref, valid_ref, idx_ref, tmp_ref):
     y = xyz_ref[1]
     z = xyz_ref[2]
     rows, n = x.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+
+    def col():
+        # regenerated at each use: a stored [rows, n] iota costs 2.5 MB of
+        # VMEM at scene scale (n=80k) and iota generation is ~free
+        return jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+
     # invalid lanes start below every real distance and stay there
-    tmp_ref[:] = jnp.where(col < valid_ref[:], 1e10, -1.0)
+    tmp_ref[:] = jnp.where(col() < valid_ref[:], 1e10, -1.0)
 
     def body(i, far):
         idx_ref[pl.ds(i, 1), :] = far.reshape(1, rows)
-        sel = col == far  # one-hot row of the current centroid
+        sel = col() == far  # one-hot row of the current centroid
         cx = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
         cy = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
         cz = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
@@ -109,6 +117,9 @@ def fps_pallas(xyz, npoint, valid=None, block_rows=None, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((m_pad, b_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((block_rows, n_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(xyz_t, valid_c)
     return idx.T[:B, :npoint]

@@ -18,6 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# The axon plugin rewrites jax_platforms to "axon,cpu" during import,
+# overriding the env var — force the config after import as well.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

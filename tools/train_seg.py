@@ -55,6 +55,8 @@ def parse_args():
     p.add_argument("--return_polar", action="store_true", default=False)
     p.add_argument("--freeze_epoch", default=int(1e6), type=int)
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--workers", type=int, default=0,
+                   help="prefetch worker processes (0 = synchronous)")
     return p.parse_args()
 
 
@@ -166,13 +168,36 @@ def main():
             samples = [ds.get(i, rng=host_rng) for i in order[s : s + bs]]
             yield pad_batch(samples, cfg.voxel_max, cfg.ignore_label)
 
+    train_loader = None
+    if args.workers > 0:
+        from repsurf_tpu.runtime import PrefetchLoader
+
+        def make_train_batch(indices, seed):
+            rng = np.random.RandomState(seed)
+            samples = [train_set.get(int(i), rng=rng) for i in indices]
+            return pad_batch(samples, cfg.voxel_max, cfg.ignore_label)
+
+        train_loader = PrefetchLoader(
+            make_train_batch,
+            n_items=len(train_set),
+            batch_size=cfg.batch_size,
+            n_workers=args.workers,
+            seed=cfg.seed,
+            name="s3dis_train",
+        )
+
     for epoch in range(cfg.epoch):
         state = set_epoch_lr(state, cfg, epoch)
         freeze = is_frozen(cfg, epoch)
         timer = StepTimer()
         tot = np.zeros((3, cfg.num_class))
         losses = []
-        for i, batch in enumerate(batches(train_set, cfg.batch_size, True)):
+        epoch_batches = (
+            train_loader.epoch(epoch)
+            if train_loader is not None
+            else batches(train_set, cfg.batch_size, True)
+        )
+        for i, batch in enumerate(epoch_batches):
             timer.data_loaded()
             batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
             key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
@@ -224,6 +249,8 @@ def main():
                 )
                 logger.info(f"best mIoU -> {best_iou * 100:.2f}")
 
+    if train_loader is not None:
+        train_loader.close()
     logger.info(f"done; best mIoU {best_iou * 100:.2f}")
 
 
