@@ -5,6 +5,7 @@ half of repsurface_utils — SURVEY.md §2d)."""
 from .polar import xyz2cylind, xyz2sphere
 from .surface import (
     cal_area,
+    pca,
     cal_center,
     cal_const,
     cal_normal,
@@ -22,6 +23,7 @@ __all__ = [
     "cal_center",
     "cal_const",
     "cal_normal",
+    "pca",
     "fixed_rotation_matrix",
     "group_by_umbrella",
     "group_by_umbrella_idx",

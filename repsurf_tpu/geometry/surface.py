@@ -91,6 +91,28 @@ def cal_area(group_xyz):
     return area[..., None]
 
 
+def pca(x, k, center=True):
+    """Principal component analysis via SVD (recons_utils.py:60-79; unused by
+    the reference models but part of the library surface).
+
+    Args:
+      x: [n, d] points.
+      k: number of components.
+
+    Returns:
+      dict with 'components' [d, k] and 'explained_variance' [k].
+    """
+    n = x.shape[0]
+    xc = x - jnp.mean(x, axis=0, keepdims=True) if center else x
+    _, s, vt = jnp.linalg.svd(xc, full_matrices=False)
+    return {
+        "x": x,
+        "k": k,
+        "components": vt[:k].T,
+        "explained_variance": (s[:k] * s[:k]) / (n - 1),
+    }
+
+
 def repair_invalid_group(bad, *tensors):
     """Replace bad fans with each point's first good fan.
 
