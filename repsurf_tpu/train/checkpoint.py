@@ -1,14 +1,55 @@
-"""Checkpointing: Orbax save/restore with the reference's save-on-best policy.
+"""Checkpointing: Orbax save/restore with the reference's save-on-best policy
+and full-state resume.
 
 The reference saves a dict {epoch, metric, model_state, optimizer_state} only
 when the validation metric improves (classification
-train_cls_scanobjectnn.py:261-271, segmentation tool/train.py:246-253).
+train_cls_scanobjectnn.py:261-271, segmentation tool/train.py:246-253) and
+resumes model+optimizer+scheduler+best-metric from it
+(tool/train.py:194-209); ``--pretrain`` restores weights only
+(tool/train.py:210-215).  ``train_state_dict`` / ``apply_train_state``
+package a TrainState the same way.
 """
 
 import os
 
 import jax
 import orbax.checkpoint as ocp
+
+
+def train_state_dict(state, epoch=0, best_metric=0.0):
+    """Full-resume payload: params, batch stats, optimizer state, progress."""
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": epoch,
+        "best_metric": best_metric,
+    }
+
+
+def apply_train_state(state, restored, weights_only=False):
+    """Rebuild a TrainState from a restored payload.
+
+    weights_only mirrors the reference's --pretrain (weights, fresh
+    optimizer); otherwise optimizer state and step resume too.
+
+    Returns:
+      (state, start_epoch, best_metric)
+    """
+    state = state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"]
+    )
+    if weights_only:
+        return state, 0, 0.0
+    state = state.replace(
+        opt_state=jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree_util.tree_leaves(restored["opt_state"]),
+        ),
+        step=restored["step"],
+    )
+    return state, int(restored["epoch"]), float(restored["best_metric"])
 
 
 class BestCheckpointer:

@@ -146,3 +146,53 @@ class TestSegTrainer:
         assert float(np.asarray(target).sum()) == float(
             np.asarray(batch["valid"]).sum()
         )
+
+
+class TestCheckpointResume:
+    def test_full_state_roundtrip(self, tmp_path, rng):
+        from repsurf_tpu.train.checkpoint import (
+            BestCheckpointer,
+            apply_train_state,
+            train_state_dict,
+        )
+
+        cfg = train_cls.ClsConfig(num_point=64, batch_size=4)
+        state = train_cls.create_state(cfg, key=jax.random.PRNGKey(0))
+        # advance one step so the optimizer state is non-trivial
+        pts = jnp.asarray(rng.randn(4, 128, 3).astype(np.float32))
+        tgt = jnp.asarray([0, 1, 2, 3])
+        state, _, _ = train_cls.train_step(state, pts, tgt, jax.random.PRNGKey(1), cfg)
+
+        ckpt = BestCheckpointer(str(tmp_path / "ck"))
+        assert ckpt.maybe_save(0.5, 3, train_state_dict(state, 3, 0.5))
+
+        fresh = train_cls.create_state(cfg, key=jax.random.PRNGKey(9))
+        restored = ckpt.restore(train_state_dict(fresh))
+        fresh, epoch, best = apply_train_state(fresh, restored)
+        assert epoch == 3 and abs(best - 0.5) < 1e-9
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(fresh.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.opt_state),
+            jax.tree_util.tree_leaves(fresh.opt_state),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_weights_only(self, tmp_path, rng):
+        from repsurf_tpu.train.checkpoint import (
+            BestCheckpointer,
+            apply_train_state,
+            train_state_dict,
+        )
+
+        cfg = train_cls.ClsConfig(num_point=64, batch_size=4)
+        state = train_cls.create_state(cfg, key=jax.random.PRNGKey(0))
+        ckpt = BestCheckpointer(str(tmp_path / "ck2"))
+        ckpt.maybe_save(0.7, 5, train_state_dict(state, 5, 0.7))
+        fresh = train_cls.create_state(cfg, key=jax.random.PRNGKey(9))
+        restored = ckpt.restore(train_state_dict(fresh))
+        fresh, epoch, best = apply_train_state(fresh, restored, weights_only=True)
+        assert epoch == 0 and best == 0.0  # --pretrain semantics

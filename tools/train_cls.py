@@ -49,7 +49,11 @@ def main():
     import jax
 
     from repsurf_tpu.data.scanobjectnn import ScanObjectNNDataset, SyntheticClouds
-    from repsurf_tpu.train.checkpoint import BestCheckpointer
+    from repsurf_tpu.train.checkpoint import (
+        BestCheckpointer,
+        apply_train_state,
+        train_state_dict,
+    )
     from repsurf_tpu.train.train_cls import (
         ClsConfig,
         create_state,
@@ -104,8 +108,19 @@ def main():
     ckpt = BestCheckpointer(ckpt_dir)
     host_rng = np.random.RandomState(cfg.seed)
 
-    best_sing, best_vote = 0.0, 0.0
-    for epoch in range(cfg.epoch):
+    # silent auto-resume from the best checkpoint, mirroring the reference's
+    # bare try/except restore (train_cls_scanobjectnn.py:166-172)
+    start_epoch, best_sing, best_vote = 0, 0.0, 0.0
+    if ckpt.exists():
+        try:
+            restored = ckpt.restore(train_state_dict(state))
+            state, start_epoch, best_vote = apply_train_state(state, restored)
+            ckpt.best_metric = best_vote
+            logger.info(f"resumed from epoch {start_epoch} (vote {best_vote:.4f})")
+        except Exception as e:  # fresh run on incompatible checkpoints
+            logger.info(f"no usable checkpoint ({e}); training from scratch")
+
+    for epoch in range(start_epoch, cfg.epoch):
         key = jax.random.fold_in(root_key, epoch)
         state, loss, acc = train_epoch(state, train_set, cfg, epoch, key, rng=host_rng)
         logger.info(
@@ -117,7 +132,7 @@ def main():
             if vote >= best_vote:
                 best_vote = vote
                 ckpt.maybe_save(
-                    vote, epoch + 1, {"params": state.params, "batch_stats": state.batch_stats}
+                    vote, epoch + 1, train_state_dict(state, epoch + 1, vote)
                 )
             logger.info(
                 f"single {sing * 100:.2f} (best {best_sing * 100:.2f}) "

@@ -57,6 +57,10 @@ def parse_args():
     p.add_argument("--n_devices", type=int, default=None)
     p.add_argument("--workers", type=int, default=0,
                    help="prefetch worker processes (0 = synchronous)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume model+optimizer+epoch from")
+    p.add_argument("--pretrain", type=str, default=None,
+                   help="checkpoint dir to load weights only from")
     return p.parse_args()
 
 
@@ -71,7 +75,11 @@ def main():
     from repsurf_tpu.data.s3dis import CLASS_WEIGHTS, S3DISDataset, pad_batch
     from repsurf_tpu.nn.metrics import iou_from_counts
     from repsurf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-    from repsurf_tpu.train.checkpoint import BestCheckpointer
+    from repsurf_tpu.train.checkpoint import (
+        BestCheckpointer,
+        apply_train_state,
+        train_state_dict,
+    )
     from repsurf_tpu.train.train_seg import (
         SegConfig,
         create_state,
@@ -158,7 +166,23 @@ def main():
     )
     ckpt = BestCheckpointer(os.path.join(exp, "checkpoints"))
     host_rng = np.random.RandomState(cfg.seed)
-    best_iou = 0.0
+    best_iou, start_epoch = 0.0, 0
+
+    if args.resume or args.pretrain:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(args.resume or args.pretrain)
+        if os.path.basename(path) != "best":
+            path = os.path.join(path, "best")
+        restored = ocp.StandardCheckpointer().restore(
+            path, target=jax.device_get(train_state_dict(state))
+        )
+        state, start_epoch, best_iou = apply_train_state(
+            state, restored, weights_only=args.pretrain is not None
+        )
+        state = replicate(state, mesh)
+        ckpt.best_metric = best_iou
+        logger.info(f"restored from {path} (epoch {start_epoch}, best {best_iou:.4f})")
 
     def batches(ds, bs, shuffle):
         order = np.arange(len(ds))
@@ -186,7 +210,7 @@ def main():
             name="s3dis_train",
         )
 
-    for epoch in range(cfg.epoch):
+    for epoch in range(start_epoch, cfg.epoch):
         state = set_epoch_lr(state, cfg, epoch)
         freeze = is_frozen(cfg, epoch)
         timer = StepTimer()
@@ -243,9 +267,7 @@ def main():
             if float(miou) > best_iou:
                 best_iou = float(miou)
                 ckpt.maybe_save(
-                    best_iou,
-                    epoch + 1,
-                    {"params": state.params, "batch_stats": state.batch_stats},
+                    best_iou, epoch + 1, train_state_dict(state, epoch + 1, best_iou)
                 )
                 logger.info(f"best mIoU -> {best_iou * 100:.2f}")
 
