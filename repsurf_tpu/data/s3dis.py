@@ -148,6 +148,8 @@ class S3DISDataset:
         rgb_transform=None,
         shuffle_index=True,
         cache=True,
+        rgb_mean=S3DIS_RGB_MEAN,
+        rgb_std=S3DIS_RGB_STD,
     ):
         self.data_dir = data_dir
         self.split = split
@@ -157,6 +159,8 @@ class S3DISDataset:
         self.rgb_transform = rgb_transform
         self.shuffle_index = shuffle_index
         self.loop = loop
+        self.rgb_mean = rgb_mean
+        self.rgb_std = rgb_std
         names = sorted(
             f[:-4] for f in os.listdir(data_dir) if f.endswith(".npy") and "Area_" in f
         )
@@ -194,6 +198,8 @@ class S3DISDataset:
             voxel_max=self.voxel_max,
             coord_transform=self.coord_transform,
             rgb_transform=self.rgb_transform,
+            rgb_mean=self.rgb_mean,
+            rgb_std=self.rgb_std,
             shuffle_index=self.shuffle_index,
             stop_transform=(self.split != "train"),
             rng=rng,
