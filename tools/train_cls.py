@@ -60,7 +60,7 @@ def main():
         evaluate,
         train_epoch,
     )
-    from repsurf_tpu.utils import get_logger, set_seed
+    from repsurf_tpu.utils import ScalarWriter, get_logger, set_seed
 
     cfg = ClsConfig(
         model=args.model,
@@ -90,6 +90,7 @@ def main():
         args.log_root, "ScanObjectNN", args.log_dir or "default", "checkpoints"
     )
     logger = get_logger(log_dir, "train_cls")
+    writer = ScalarWriter(log_dir)
     logger.info(cfg)
 
     import numpy as np
@@ -126,6 +127,8 @@ def main():
         logger.info(
             f"epoch {epoch + 1}/{cfg.epoch} loss {loss:.4f} acc {acc * 100:.2f}"
         )
+        writer.add_scalar("loss_train", loss, epoch + 1)
+        writer.add_scalar("acc_train", acc, epoch + 1)
         if epoch >= cfg.min_val:
             sing, vote = evaluate(state, test_set, cfg, jax.random.fold_in(key, 999))
             best_sing = max(best_sing, sing)
@@ -138,6 +141,9 @@ def main():
                 f"single {sing * 100:.2f} (best {best_sing * 100:.2f}) "
                 f"vote {vote * 100:.2f} (best {best_vote * 100:.2f})"
             )
+            writer.add_scalar("acc_single_val", sing, epoch + 1)
+            writer.add_scalar("acc_vote_val", vote, epoch + 1)
+    writer.close()
     logger.info("done")
 
 

@@ -88,7 +88,7 @@ def main():
         set_epoch_lr,
         train_step,
     )
-    from repsurf_tpu.utils import StepTimer, get_logger, set_seed
+    from repsurf_tpu.utils import ScalarWriter, StepTimer, get_logger, set_seed
 
     cfg = SegConfig(
         model=args.model,
@@ -126,6 +126,7 @@ def main():
 
     exp = os.path.join(args.log_root, "S3DIS", args.log_dir or "default")
     logger = get_logger(os.path.join(exp, "logs"), "train_seg")
+    writer = ScalarWriter(os.path.join(exp, "logs"))
     logger.info(cfg)
 
     root_key = set_seed(cfg.seed)
@@ -243,6 +244,10 @@ def main():
             f"train epoch {epoch + 1}: mIoU/mAcc/OA "
             f"{float(miou) * 100:.2f}/{float(macc) * 100:.2f}/{float(allacc) * 100:.2f}"
         )
+        writer.add_scalar("loss_train", float(np.mean(losses)), epoch + 1)
+        writer.add_scalar("mIoU_train", float(miou), epoch + 1)
+        writer.add_scalar("mAcc_train", float(macc), epoch + 1)
+        writer.add_scalar("allAcc_train", float(allacc), epoch + 1)
 
         if epoch + 1 > cfg.min_val and (epoch + 1) % cfg.val_freq == 0:
             tot = np.zeros((3, cfg.num_class))
@@ -264,6 +269,18 @@ def main():
                 f"{float(miou) * 100:.2f}/{float(macc) * 100:.2f}/"
                 f"{float(allacc) * 100:.2f} loss {np.mean(vlosses):.4f}"
             )
+            iou_class = tot[0] / (tot[1] + 1e-10)
+            acc_class = tot[0] / (tot[2] + 1e-10)
+            for ci in range(cfg.num_class):
+                logger.info(
+                    f"class_{ci}: IoU/Acc {iou_class[ci] * 100:.2f}/"
+                    f"{acc_class[ci] * 100:.2f}"
+                )
+                writer.add_scalar(f"class_{ci}_val_iou", iou_class[ci], epoch + 1)
+            writer.add_scalar("loss_val", float(np.mean(vlosses)), epoch + 1)
+            writer.add_scalar("mIoU_val", float(miou), epoch + 1)
+            writer.add_scalar("mAcc_val", float(macc), epoch + 1)
+            writer.add_scalar("allAcc_val", float(allacc), epoch + 1)
             if float(miou) > best_iou:
                 best_iou = float(miou)
                 ckpt.maybe_save(
@@ -273,6 +290,7 @@ def main():
 
     if train_loader is not None:
         train_loader.close()
+    writer.close()
     logger.info(f"done; best mIoU {best_iou * 100:.2f}")
 
 
