@@ -5,23 +5,29 @@ All ops are batched over a leading B dimension, use static shapes, and take
 an optional ``valid: [B]`` count for padded batches.
 """
 
-from .gather import index_points, resort_points
+from .bucket_knn import bucket_knn, bucket_knn_check
+from .gather import index_points, resort_points, select_group
 from .interpolate import interpolate_weights, three_interpolate
 from .masking import BIG_DIST2, counts_to_mask, full_counts
-from .neighbors import ball_query, knn
-from .sampling import farthest_point_sample
+from .neighbors import ball_query, knn, knn_xla
+from .sampling import farthest_point_sample, farthest_point_sample_xla
 from .sector import sectorized_fps
 
 __all__ = [
     "BIG_DIST2",
     "ball_query",
+    "bucket_knn",
+    "bucket_knn_check",
     "counts_to_mask",
     "farthest_point_sample",
+    "farthest_point_sample_xla",
     "full_counts",
     "index_points",
     "interpolate_weights",
     "knn",
+    "knn_xla",
     "resort_points",
+    "select_group",
     "sectorized_fps",
     "three_interpolate",
 ]
