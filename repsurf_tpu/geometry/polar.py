@@ -23,11 +23,20 @@ def xyz2sphere(xyz, normalize=True):
     Returns:
       [..., 3] spherical coordinates.
     """
-    rho = jnp.sqrt(jnp.sum(jnp.square(xyz), axis=-1, keepdims=True))
-    safe_rho = jnp.where(rho == 0, 1.0, rho)
-    z = jnp.clip(xyz[..., 2:3] / safe_rho, -1.0, 1.0)
-    theta = jnp.where(rho == 0, 0.0, jnp.arccos(z))  # [0, pi]
-    phi = jnp.arctan2(xyz[..., 1:2], xyz[..., 0:1])  # [-pi, pi]
+    # every nonlinearity is computed on guarded inputs so gradients stay
+    # finite at the degenerate points (sqrt at 0, acos at +-1, atan2 at the
+    # origin) — the reference's backward is inf/NaN-poisoned there
+    s = jnp.sum(jnp.square(xyz), axis=-1, keepdims=True)
+    zero = s == 0.0
+    rho = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, s)))
+    u = jnp.clip(xyz[..., 2:3] / jnp.where(zero, 1.0, rho), -1.0, 1.0)
+    at_pole = jnp.abs(u) >= 1.0
+    theta = jnp.arccos(jnp.where(at_pole, 0.0, u))
+    theta = jnp.where(at_pole, jnp.where(u > 0, 0.0, jnp.pi), theta)
+    theta = jnp.where(zero, 0.0, theta)  # [0, pi]; 0 at rho == 0
+    x, y = xyz[..., 0:1], xyz[..., 1:2]
+    xy_zero = (x == 0.0) & (y == 0.0)
+    phi = jnp.arctan2(y, jnp.where(xy_zero, 1.0, x))  # atan2(0,0) -> 0
     if normalize:
         theta = theta / _PI
         phi = phi / (2 * _PI) + 0.5

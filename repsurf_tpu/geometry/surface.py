@@ -37,9 +37,12 @@ def cal_normal(group_xyz, random_inv_sign=None, is_group=False):
     e1 = group_xyz[..., 1, :] - group_xyz[..., 0, :]
     e2 = group_xyz[..., 2, :] - group_xyz[..., 0, :]
     nor = jnp.cross(e1, e2)
-    norm = jnp.linalg.norm(nor, axis=-1, keepdims=True)
-    degenerate = jnp.squeeze(norm, -1) == 0.0
-    unit = nor / jnp.where(norm == 0.0, 1.0, norm)
+    # sqrt on a guarded input: sqrt'(0) is inf and a where() after the fact
+    # does not block it (0 * inf = NaN in the chain rule)
+    s = jnp.sum(jnp.square(nor), axis=-1, keepdims=True)
+    degenerate = jnp.squeeze(s, -1) == 0.0
+    norm = jnp.sqrt(jnp.where(s == 0.0, 1.0, s))
+    unit = jnp.where(s == 0.0, 0.0, nor / norm)
 
     if is_group:
         # sign decided by fan 0 of each point, broadcast over the fan axis
