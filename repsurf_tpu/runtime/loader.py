@@ -58,7 +58,10 @@ class PrefetchLoader:
 
     # -- slot management -------------------------------------------------
     def _slot_names(self, slot, keys):
-        return {k: f"/rs_{self.name}_{slot}_{k}" for k in keys}
+        # pid-namespaced: concurrent runs must not share slots
+        import os
+
+        return {k: f"/rs_{os.getpid()}_{self.name}_{slot}_{k}" for k in keys}
 
     def _ensure_slots(self, template):
         if self._slots is not None:
