@@ -22,13 +22,14 @@ from .polar import xyz2sphere
 def fixed_rotation_matrix():
     """45 deg about y then 45 deg about z, composed for row-vector points —
     the frame used by group_by_umbrella_v2 (segmentation
-    repsurface_utils.py:71-74) to break axis-aligned sorting degeneracies."""
-    import numpy as np
+    repsurface_utils.py:71-74) to break axis-aligned sorting degeneracies.
 
-    c = s = float(np.sqrt(0.5))
-    ry = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], np.float64)
-    rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], np.float64)
-    return jnp.asarray(ry @ rz, dtype=jnp.float32)
+    The entries reproduce the reference's *truncated* literals (0.7071, not
+    sqrt(0.5)) so azimuth sort orders agree bit-for-bit with the reference."""
+    return jnp.asarray(
+        [[0.5, -0.5, 0.7071], [0.7071, 0.7071, 0.0], [-0.5, 0.5, 0.7071]],
+        dtype=jnp.float32,
+    )
 
 
 def group_by_umbrella(xyz, new_xyz, k=9, valid=None, sort_rotation=None, drop_self=False):

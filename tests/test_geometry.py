@@ -137,9 +137,12 @@ class TestUmbrella:
         np.testing.assert_allclose(fans[0, :, -1, 2, :], fans[0, :, 0, 1, :], rtol=1e-6)
 
     def test_fixed_rotation_is_rotation(self):
+        # the matrix reproduces the reference's truncated 0.7071 literals
+        # (segmentation/modules/repsurface_utils.py:73), so it is a rotation
+        # only to literal precision (~2e-5)
         m = np.asarray(geometry.fixed_rotation_matrix())
-        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-6)
-        np.testing.assert_allclose(np.linalg.det(m), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-4)
+        np.testing.assert_allclose(np.linalg.det(m), 1.0, rtol=1e-4)
 
     def test_v2_differs_from_v1(self, rng):
         xyz = (rng.rand(1, 30, 3) * 2 - 1).astype(np.float32)
