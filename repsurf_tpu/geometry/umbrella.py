@@ -12,6 +12,7 @@ keeps all k columns — the self point (distance 0) forms degenerate fans that
 the repair step overwrites.  ``drop_self`` selects between the two.
 """
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.gather import index_points, resort_points
@@ -82,3 +83,98 @@ def _fans_from_neighbors(group_xyz, new_xyz, sort_rotation):
 def drop_self_column(group_xyz_idx):
     """Classification-pipeline helper: drop kNN column 0 (the self point)."""
     return group_xyz_idx[:, :, 1:]
+
+
+def umbrella_features(
+    xyz,
+    k,
+    style="cls",
+    return_dist=True,
+    valid=None,
+    random_inv_sign=None,
+    impl="auto",
+    interpret=False,
+):
+    """Full umbrella geometry stage: points -> per-fan surface features.
+
+    Composes group_by_umbrella + cal_normal + cal_center + xyz2sphere +
+    cal_const + repair_invalid_group + the style's channel concat — i.e.
+    everything in UmbrellaSurfaceConstructor before the shared MLP
+    (classification/modules/repsurface_utils.py:276-296, segmentation
+    twin :306-321).  On TPU this dispatches to the fused Pallas kernel
+    (ops/pallas/umbrella.py); elsewhere (and as the oracle) it runs the
+    XLA composition.  Identical outputs either way.
+
+    Args:
+      xyz: [B, N, 3] cloud.
+      k: static kNN size (group_size + 1).
+      style: 'cls' (self dropped, plain azimuth, order [center, polar,
+        normal, pos]) or 'seg' (self kept, rotated azimuth, order [polar,
+        normal, pos, center]).
+      return_dist: include the plane-constant channel.
+      valid: optional [B] int32 counts.
+      random_inv_sign: optional [B] float (+-1) per-sample normal inversion.
+
+    Returns:
+      feat [B, N, G, C]; G = k-1 ('cls') or k, C = 10 or 9.
+    """
+    from ..geometry.surface import (
+        cal_center,
+        cal_const,
+        cal_normal,
+        repair_invalid_group,
+    )
+
+    drop_self = style == "cls"
+    G = k - 1 if drop_self else k
+    C = 10 if return_dist else 9
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and G * C <= 128
+            else "xla"
+        )
+
+    if impl == "pallas":
+        from ..ops.pallas.umbrella import umbrella_features_pallas
+
+        feat = umbrella_features_pallas(
+            jax.lax.stop_gradient(xyz),
+            k,
+            drop_self=drop_self,
+            rotate=(style == "seg"),
+            return_dist=return_dist,
+            style=style,
+            valid=valid,
+            interpret=interpret,
+        )
+        if random_inv_sign is not None:
+            # the kernel leaves normals un-inverted; the +-1 sample sign on
+            # the normal (and the const it feeds) commutes exactly with the
+            # in-kernel repair gather, so apply it to the channels here
+            if not return_dist:
+                lo, hi = 6, 9
+            elif style == "seg":
+                lo, hi = 3, 7  # normal 3:6 + pos 6
+            else:
+                lo, hi = 6, 10  # normal 6:9 + pos 9
+            chan = jnp.arange(C)
+            inv = random_inv_sign[:, None, None, None]
+            feat = feat * jnp.where((chan >= lo) & (chan < hi), inv, 1.0)
+        return feat
+
+    sort_rot = fixed_rotation_matrix() if style == "seg" else None
+    fans = group_by_umbrella(
+        xyz, xyz, k=k, valid=valid, sort_rotation=sort_rot, drop_self=drop_self
+    )
+    normal, bad = cal_normal(fans, random_inv_sign=random_inv_sign, is_group=True)
+    t_center = cal_center(fans)
+    polar = xyz2sphere(t_center)
+    if return_dist:
+        pos = cal_const(normal, t_center)
+        normal, t_center, pos = repair_invalid_group(bad, normal, t_center, pos)
+        if style == "seg":
+            return jnp.concatenate([polar, normal, pos, t_center], axis=-1)
+        return jnp.concatenate([t_center, polar, normal, pos], axis=-1)
+    normal, t_center = repair_invalid_group(bad, normal, t_center)
+    return jnp.concatenate([t_center, polar, normal], axis=-1)

@@ -19,17 +19,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..geometry.polar import xyz2sphere
-from ..geometry.surface import (
-    cal_center,
-    cal_const,
-    cal_normal,
-    repair_invalid_group,
-)
-from ..geometry.umbrella import fixed_rotation_matrix, group_by_umbrella
-from ..ops.gather import index_points
+from ..geometry.umbrella import umbrella_features
+from ..ops.gather import index_points, index_points_multi
 from ..ops.interpolate import three_interpolate
 from ..ops.masking import counts_to_mask
-from ..ops.neighbors import ball_query, knn
+from ..ops.neighbors import ball_group, knn
 from ..ops.sampling import farthest_point_sample
 from ..ops.sector import sectorized_fps
 from .layers import Linear, MaskedBatchNorm
@@ -77,16 +71,6 @@ class UmbrellaSurfaceConstructor(nn.Module):
     def __call__(self, center, valid=None, train=True):
         """center: [B, N, 3] -> repsurf features [B, N, out_channel]."""
         B, N, _ = center.shape
-        sort_rot = fixed_rotation_matrix() if self.style == "seg" else None
-        fans = group_by_umbrella(
-            center,
-            center,
-            k=self.k,
-            valid=valid,
-            sort_rotation=sort_rot,
-            drop_self=(self.style == "cls"),
-        )  # [B, N, G, 3, 3]
-
         inv_sign = None
         if self.random_inv and self.has_rng("random_inv"):
             key = self.make_rng("random_inv")
@@ -94,19 +78,14 @@ class UmbrellaSurfaceConstructor(nn.Module):
                 jax.random.bernoulli(key, 0.5, (B,)).astype(jnp.float32) * 2.0 - 1.0
             )
 
-        normal, bad = cal_normal(fans, random_inv_sign=inv_sign, is_group=True)
-        t_center = cal_center(fans)
-        polar = xyz2sphere(t_center)
-        if self.return_dist:
-            pos = cal_const(normal, t_center)
-            normal, t_center, pos = repair_invalid_group(bad, normal, t_center, pos)
-            if self.style == "seg":
-                feat = jnp.concatenate([polar, normal, pos, t_center], axis=-1)
-            else:
-                feat = jnp.concatenate([t_center, polar, normal, pos], axis=-1)
-        else:
-            normal, t_center = repair_invalid_group(bad, normal, t_center)
-            feat = jnp.concatenate([t_center, polar, normal], axis=-1)
+        feat = umbrella_features(
+            center,
+            self.k,
+            style=self.style,
+            return_dist=self.return_dist,
+            valid=valid,
+            random_inv_sign=inv_sign,
+        )  # [B, N, G, C]
 
         mask = None if valid is None else counts_to_mask(valid, N)[:, :, None]
 
@@ -210,17 +189,18 @@ class SurfaceAbstractionCD(nn.Module):
             idx, new_valid = _sample(
                 center, self.npoint, self.stride, valid, self.num_sector, train
             )
-            new_center = index_points(center, idx)
-            new_normal = index_points(normal, idx)
+            new_center, new_normal = index_points_multi(idx, center, normal)
 
             if self.grouping == "ball":
-                gidx = ball_query(
-                    self.radius, self.nsample, center, new_center, valid=valid
+                group_center, group_normal, group_feature = ball_group(
+                    self.radius, self.nsample, center, new_center,
+                    (center, normal, feature), valid=valid,
                 )
             else:
                 gidx, _ = knn(self.nsample, center, new_center, valid=valid)
-            group_center = index_points(center, gidx)
-            group_normal = index_points(normal, gidx)
+                group_center, group_normal, group_feature = index_points_multi(
+                    gidx, center, normal, feature
+                )
             group_center_norm = group_center - new_center[:, :, None]
             if self.return_polar:
                 group_center_norm = jnp.concatenate(
@@ -229,8 +209,8 @@ class SurfaceAbstractionCD(nn.Module):
             parts = [group_center_norm]
             if self.return_normal:
                 parts.append(group_normal)
-            if feature is not None:
-                parts.append(index_points(feature, gidx))
+            if group_feature is not None:
+                parts.append(group_feature)
             new_feature = jnp.concatenate(parts, axis=-1)
 
         M = new_feature.shape[1]
@@ -290,24 +270,27 @@ class SurfaceAbstraction(nn.Module):
             idx, new_valid = _sample(
                 center, self.npoint, self.stride, valid, self.num_sector, train
             )
-            new_center = index_points(center, idx)
-            new_normal = index_points(normal, idx)
+            new_center, new_normal = index_points_multi(idx, center, normal)
             if self.grouping == "ball":
-                gidx = ball_query(
-                    self.radius, self.nsample, center, new_center, valid=valid
+                group_center, group_normal, group_feature = ball_group(
+                    self.radius, self.nsample, center, new_center,
+                    (center, normal, feature), valid=valid,
                 )
             else:
                 gidx, _ = knn(self.nsample, center, new_center, valid=valid)
-            group_center_norm = index_points(center, gidx) - new_center[:, :, None]
+                group_center, group_normal, group_feature = index_points_multi(
+                    gidx, center, normal, feature
+                )
+            group_center_norm = group_center - new_center[:, :, None]
             if self.return_polar:
                 group_center_norm = jnp.concatenate(
                     [group_center_norm, xyz2sphere(group_center_norm)], axis=-1
                 )
             parts = [group_center_norm]
             if self.return_normal:
-                parts.append(index_points(normal, gidx))
-            if feature is not None:
-                parts.append(index_points(feature, gidx))
+                parts.append(group_normal)
+            if group_feature is not None:
+                parts.append(group_feature)
             x = jnp.concatenate(parts, axis=-1)
 
         M = x.shape[1]
@@ -377,10 +360,11 @@ class PointNetSetAbstraction(nn.Module):
         )
         new_xyz = index_points(xyz, idx)
         gidx, _ = knn(self.nsample, xyz, new_xyz, valid=valid)
-        group_norm = index_points(xyz, gidx) - new_xyz[:, :, None]
+        group_xyz, group_feature = index_points_multi(gidx, xyz, feature)
+        group_norm = group_xyz - new_xyz[:, :, None]
         parts = [group_norm]
-        if feature is not None:
-            parts.append(index_points(feature, gidx))
+        if group_feature is not None:
+            parts.append(group_feature)
         x = jnp.concatenate(parts, axis=-1)
         M = x.shape[1]
         mask = None if new_valid is None else counts_to_mask(new_valid, M)[:, :, None]

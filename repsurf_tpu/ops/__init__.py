@@ -6,15 +6,16 @@ an optional ``valid: [B]`` count for padded batches.
 """
 
 from .bucket_knn import bucket_knn, bucket_knn_check
-from .gather import index_points, resort_points, select_group
+from .gather import index_points, index_points_multi, resort_points, select_group
 from .interpolate import interpolate_weights, three_interpolate
 from .masking import BIG_DIST2, counts_to_mask, full_counts
-from .neighbors import ball_query, knn, knn_xla
+from .neighbors import ball_group, ball_query, knn, knn_xla
 from .sampling import farthest_point_sample, farthest_point_sample_xla
 from .sector import sectorized_fps
 
 __all__ = [
     "BIG_DIST2",
+    "ball_group",
     "ball_query",
     "bucket_knn",
     "bucket_knn_check",
@@ -23,6 +24,7 @@ __all__ = [
     "farthest_point_sample_xla",
     "full_counts",
     "index_points",
+    "index_points_multi",
     "interpolate_weights",
     "knn",
     "knn_xla",

@@ -98,10 +98,24 @@ def knn(k, xyz, new_xyz, valid=None, new_valid=None, chunk=_DEFAULT_CHUNK, impl=
         missing slots carry sqrt(1e10), mirroring the reference).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" and k <= 256 else "xla"
+        # pallas kernel needs the [block_q >= 8, N] distance tile resident in
+        # VMEM; above ~500k points that cannot fit and the Mosaic failure is
+        # opaque — dispatch to the chunked XLA formulation instead
+        fits_vmem = xyz.shape[1] <= 500_000
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and k <= 256 and fits_vmem
+            else "xla"
+        )
     if impl == "pallas":
         from .pallas.knn import knn_pallas
 
+        # the reference kNN is a torch autograd.Function with no backward
+        # (constant idx/dist under autodiff); match that here — it also
+        # keeps structurally-tainted center tangents out of the kernel's
+        # unsupported JVP path.  The XLA twin stays differentiable.
+        xyz = jax.lax.stop_gradient(xyz)
+        new_xyz = jax.lax.stop_gradient(new_xyz)
         return knn_pallas(k, xyz, new_xyz, valid=valid)
     return knn_xla(k, xyz, new_xyz, valid=valid, new_valid=new_valid, chunk=chunk)
 
@@ -144,6 +158,98 @@ def knn_xla(k, xyz, new_xyz, valid=None, new_valid=None, chunk=_DEFAULT_CHUNK):
         point_ok = jnp.ones((B, N), dtype=bool)
     idx, dist = jax.vmap(per_sample)(xyz, new_xyz, point_ok)
     return idx, dist
+
+
+def ball_group(radius, nsample, xyz, new_xyz, tensors, valid=None):
+    """Fused ball query + grouping: gathered neighbors without indices.
+
+    The separate ball_query pass materializes [B, M, nsample] indices that
+    immediately feed one-hot gathers; but the gather's one-hot
+    ``gidx[q,s] == n`` is exactly the ball query's own selection predicate
+    ``within[q,n] & rank[q,n] == slot_target(s)`` — so building the
+    selection tensor directly from the distance ranks makes the whole ball
+    query pass vanish into the gather's (unavoidable, VPU-bound) one-hot
+    build.  On v5e this halves the grouping cost of a classification SA
+    stage.  Semantics are identical to
+    ``index_points(t, ball_query(...))``: first ``nsample`` in-radius
+    points in index order, short lists padded with the first hit, empty
+    balls gather point 0.
+
+    Args:
+      radius: ball radius.
+      nsample: static group size.
+      xyz: [B, N, 3] reference points.
+      new_xyz: [B, M, 3] query centers.
+      tensors: sequence of [B, N, C_i] channel tensors (None passes
+        through).
+      valid: optional [B] count of real reference points.
+
+    Returns:
+      list of grouped [B, M, nsample, C_i] arrays (None where input None).
+    """
+    from .gather import _split_bf16_terms
+
+    B, N, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    point_ok = (
+        jnp.ones((B, N), dtype=bool) if valid is None else counts_to_mask(valid, N)
+    )
+
+    live = [t for t in tensors if t is not None]
+    cat = jnp.concatenate(live, axis=-1) if len(live) > 1 else live[0]
+
+    d2 = jax.vmap(_pairwise_dist2)(new_xyz, xyz)  # [B, M, N]
+    within = ((d2 <= radius * radius) & point_ok[:, None, :]).astype(
+        jnp.float32
+    )
+    # inclusive prefix count of hits as an MXU matmul against a triangular
+    # mask: XLA's native cumsum lowering costs ~10x more on TPU, while the
+    # 0/1 operands are exact in bf16 and the f32 accumulation is exact to
+    # 2^24, so DEFAULT precision loses nothing
+    n_col = jnp.arange(N, dtype=jnp.int32)
+    tril = (n_col[:, None] <= n_col[None, :]).astype(jnp.float32)
+    rank = jnp.einsum(
+        "bmn,nk->bmk", within, tril, preferred_element_type=jnp.float32
+    )
+    count = rank[..., -1:]  # [B, M, 1] float hits per ball
+    # fold the within mask into the rank (rank 0 never matches a target)
+    rankw = jnp.where(within > 0, rank, 0.0)
+    slots = jnp.arange(1, nsample + 1, dtype=jnp.float32)  # [S]
+    # slot target: its own rank while hits remain, else rank 1 (pad with
+    # the first hit); empty balls fixed up on the small output below
+    target = jnp.where(slots[None, None] <= count, slots[None, None], 1.0)
+    # bf16 operands hit the MXU's native rate on TPU; on CPU bf16 matmuls
+    # are emulated scalar-by-scalar — use exact f32 there (no split needed)
+    on_tpu = jax.default_backend() == "tpu"
+    oh_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    onehot = (rankw[:, :, None, :] == target[..., None]).astype(oh_dtype)
+
+    if on_tpu and cat.dtype == jnp.float32:
+        terms = _split_bf16_terms(cat)
+    else:
+        terms = [cat]
+    out = None
+    for t in terms:
+        part = jnp.einsum(
+            "bmsn,bnc->bmsc", onehot, t, preferred_element_type=jnp.float32
+        )
+        out = part if out is None else out + part
+    # empty balls gather point 0 (CUDA kernel's idx=0 degenerate case)
+    out = jnp.where(
+        (count == 0.0)[..., None], cat[:, None, 0:1, :].astype(out.dtype), out
+    )
+    out = out.astype(cat.dtype)
+
+    res, off = [], 0
+    for t in tensors:
+        if t is None:
+            res.append(None)
+        else:
+            c = t.shape[-1]
+            res.append(out[..., off : off + c])
+            off += c
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("nsample", "chunk"))

@@ -80,6 +80,11 @@ def fps_pallas(xyz, npoint, valid=None, block_rows=None, interpret=False):
     Returns:
       idx: [B, npoint] int32.
     """
+    # integer indices carry no gradient, but an input that structurally
+    # carries a tangent (e.g. centers sliced out of a fused gather that
+    # also returned param-dependent channels) would invoke the Pallas JVP
+    # rule, which does not support kernels with scratch buffers
+    xyz = jax.lax.stop_gradient(xyz)
     B, N, _ = xyz.shape
     if valid is None:
         valid = jnp.full((B,), N, jnp.int32)

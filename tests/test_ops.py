@@ -183,3 +183,83 @@ class TestSectorizedFPS:
             return d.min(1).max()
 
         assert cover_radius(i_sect) < cover_radius(i_plain) * 1.6
+
+
+class TestBallGroup:
+    """Fused ball-query+gather vs the two-pass composition."""
+
+    def test_matches_two_pass(self, rng):
+        xyz = make_cloud(rng, B=3, N=128)
+        q = make_cloud(rng, B=3, N=40)
+        feat = rng.randn(3, 128, 7).astype(np.float32)
+        import jax.numpy as jnp
+
+        got_c, got_f = ops.ball_group(0.5, 8, xyz, q, (xyz, feat))
+        gidx = ops.ball_query(0.5, 8, xyz, q)
+        np.testing.assert_array_equal(
+            np.asarray(got_c), np.asarray(ops.index_points(jnp.asarray(xyz), gidx))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_f), np.asarray(ops.index_points(jnp.asarray(feat), gidx))
+        )
+
+    def test_masked_and_empty(self, rng):
+        xyz = make_cloud(rng, B=2, N=96, scale=5.0)  # sparse: empty balls
+        q = make_cloud(rng, B=2, N=30, scale=5.0)
+        valid = np.array([96, 11], np.int32)
+        (got,) = ops.ball_group(0.2, 6, xyz, q, (xyz,), valid=valid)
+        gidx = ops.ball_query(0.2, 6, xyz, q, valid=valid)
+        import jax.numpy as jnp
+
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ops.index_points(jnp.asarray(xyz), gidx))
+        )
+
+    def test_none_passthrough(self, rng):
+        xyz = make_cloud(rng, B=1, N=64)
+        q = make_cloud(rng, B=1, N=16)
+        a, b, c = ops.ball_group(0.4, 4, xyz, q, (xyz, None, xyz))
+        assert b is None
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+class TestGatherExactness:
+    """The MXU one-hot route must be bit-exact (3-term bf16 split)."""
+
+    def test_split3_identity(self, rng):
+        from repsurf_tpu.ops.gather import _split_bf16_terms
+        import jax, jax.numpy as jnp
+
+        x = jnp.asarray((rng.randn(64, 32) * 100).astype(np.float32))
+        v1, v2, v3 = jax.jit(_split_bf16_terms)(x)
+        rec = (
+            np.asarray(v1, np.float32)
+            + np.asarray(v2, np.float32)
+            + np.asarray(v3, np.float32)
+        )
+        np.testing.assert_array_equal(rec, np.asarray(x))
+
+    def test_onehot_gather_exact(self, rng):
+        from repsurf_tpu.ops.gather import _gather_onehot
+        import jax, jax.numpy as jnp
+
+        pts = jnp.asarray((rng.randn(2, 96, 5) * 10).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 96, (2, 33)).astype(np.int32))
+        got = np.asarray(jax.jit(_gather_onehot)(pts, idx))
+        want = np.asarray(jnp.take_along_axis(pts, idx[..., None], axis=1))
+        np.testing.assert_array_equal(got, want)
+
+    def test_multi_matches_single(self, rng):
+        import jax.numpy as jnp
+
+        a = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        b = jnp.asarray(rng.randn(2, 64, 9).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 64, (2, 10, 4)).astype(np.int32))
+        ga, gn, gf = ops.index_points_multi(idx, a, b, None)
+        assert gf is None
+        np.testing.assert_array_equal(
+            np.asarray(ga), np.asarray(ops.index_points(a, idx))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gn), np.asarray(ops.index_points(b, idx))
+        )

@@ -37,6 +37,93 @@ class TestFPSPallas:
         np.testing.assert_array_equal(a, b)
 
 
+class TestUmbrellaPallas:
+    """Fused umbrella kernel vs the XLA composition (exact match)."""
+
+    # XLA contracts mul+add chains into FMAs inside fusions; interpreted
+    # Pallas does not — transcendental-fed channels (rho/theta/phi, unit
+    # normal, const) drift by ~1 ULP while the discrete structure (neighbor
+    # extraction order, azimuth sort, repair selection) must agree exactly.
+    # Any ordering bug produces O(1) differences, far above this tolerance.
+    _ATOL = 2e-6
+
+    def _compare(self, xyz, k, style, **kw):
+        from repsurf_tpu.geometry.umbrella import umbrella_features
+
+        a = np.asarray(
+            umbrella_features(xyz, k, style=style, impl="pallas", interpret=True, **kw)
+        )
+        b = np.asarray(umbrella_features(xyz, k, style=style, impl="xla", **kw))
+        np.testing.assert_allclose(a, b, atol=self._ATOL, rtol=0)
+        return a
+
+    def test_cls_style(self, rng):
+        xyz = (rng.rand(2, 96, 3) * 2 - 1).astype(np.float32)
+        a = self._compare(xyz, 9, "cls")
+        assert a.shape == (2, 96, 8, 10)
+
+    def test_seg_style_rotated(self, rng):
+        xyz = (rng.rand(2, 80, 3) * 2 - 1).astype(np.float32)
+        a = self._compare(xyz, 9, "seg")
+        assert a.shape == (2, 80, 9, 10)
+
+    def test_masked_padding(self, rng):
+        xyz = (rng.rand(3, 64, 3) * 2 - 1).astype(np.float32)
+        valid = np.array([64, 21, 5], np.int32)  # 5 < k: kNN pad slots
+        self._compare(xyz, 9, "cls", valid=valid)
+
+    def test_degenerate_fans_repaired(self, rng):
+        # many duplicated points => zero-area triangles => repair path
+        base = (rng.rand(1, 16, 3) * 2 - 1).astype(np.float32)
+        xyz = np.concatenate([base, base, base, base], axis=1)
+        a = self._compare(xyz, 9, "cls")
+        assert np.isfinite(a).all()
+
+    def test_random_inv_sign(self, rng):
+        from repsurf_tpu.geometry.umbrella import umbrella_features
+
+        xyz = (rng.rand(2, 48, 3) * 2 - 1).astype(np.float32)
+        sign = np.array([1.0, -1.0], np.float32)
+        for style in ("cls", "seg"):
+            a = np.asarray(
+                umbrella_features(
+                    xyz, 9, style=style, impl="pallas", interpret=True,
+                    random_inv_sign=sign,
+                )
+            )
+            b = np.asarray(
+                umbrella_features(
+                    xyz, 9, style=style, impl="xla", random_inv_sign=sign
+                )
+            )
+            np.testing.assert_allclose(a, b, atol=self._ATOL, rtol=0)
+
+    def test_no_dist(self, rng):
+        xyz = (rng.rand(2, 40, 3) * 2 - 1).astype(np.float32)
+        a = self._compare(xyz, 9, "cls", return_dist=False)
+        assert a.shape == (2, 40, 8, 9)
+
+    def test_block_splitting(self, rng):
+        from repsurf_tpu.geometry.umbrella import umbrella_features
+
+        xyz = (rng.rand(1, 100, 3) * 2 - 1).astype(np.float32)
+        a = np.asarray(
+            umbrella_features(
+                xyz, 9, style="cls", impl="pallas", interpret=True
+            )
+        )
+        # unaligned N=100 with default blocks already exercises padding; a
+        # tiny block_q exercises the grid split
+        from repsurf_tpu.ops.pallas.umbrella import umbrella_features_pallas
+
+        c = np.asarray(
+            umbrella_features_pallas(
+                xyz, 9, drop_self=True, style="cls", block_q=16, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(a, c)
+
+
 class TestKNNPallas:
     def test_matches_xla(self, rng):
         from repsurf_tpu.ops.pallas.knn import knn_pallas
@@ -73,3 +160,32 @@ class TestKNNPallas:
         ip, _ = knn_pallas(5, xyz, q, block_q=16, interpret=True)
         ix, _ = knn_xla(5, xyz, q)
         np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+
+
+class TestGradientInertness:
+    """Pallas neighbor/sampling kernels must behave like the reference's
+    torch autograd.Functions: constant under autodiff.  Regression for the
+    structural-taint crash — centers sliced from a fused gather that also
+    returned param-dependent channels carry a (mathematically zero) tangent
+    into the kernels, whose JVP rule does not support scratch buffers."""
+
+    def test_grad_through_tainted_cloud(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from repsurf_tpu.geometry.umbrella import umbrella_features
+        from repsurf_tpu.ops.pallas.fps import fps_pallas
+
+        x = jnp.asarray((rng.rand(1, 48, 3) * 2 - 1).astype(np.float32))
+
+        def f(w):
+            xt = x * w  # param-dependent cloud
+            idx = fps_pallas(xt, 8, interpret=True)
+            g = jnp.take_along_axis(xt, idx[..., None], axis=1)
+            feat = umbrella_features(
+                xt, 9, style="cls", impl="pallas", interpret=True
+            )
+            return jnp.sum(g) + jnp.sum(feat) * 0.0
+
+        g = jax.grad(f)(jnp.float32(2.0))
+        assert np.isfinite(float(g))
