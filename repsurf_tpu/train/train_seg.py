@@ -34,6 +34,9 @@ class SegConfig:
     dataset: str = "S3DIS"
     num_class: int = 13
     ignore_label: int = 255
+    # ScanNet protocol (tool/train.py:458-468): class 0 is 'unannotated' —
+    # predictions argmax over classes 1.. and remap +1, never predicting 0
+    pred_ignore0: bool = False
     test_area: int = 5
     batch_size: int = 8
     batch_size_val: int = 8
@@ -155,11 +158,19 @@ def train_step(state, batch, class_weight, key, cfg, freeze=False):
         batch_stats=mut["batch_stats"],
     )
 
-    pred = jnp.argmax(logits, -1)
+    pred = _predict(logits, cfg)
     inter, union, target = intersection_and_union(
         pred, batch["label"], cfg.num_class, cfg.ignore_label
     )
     return state, loss, (inter, union, target)
+
+
+def _predict(logits, cfg):
+    """Argmax with the ScanNet 'never predict unannotated' remap
+    (reference: output[:, 1:].max(1)[1] + 1)."""
+    if cfg.pred_ignore0:
+        return jnp.argmax(logits[..., 1:], -1) + 1
+    return jnp.argmax(logits, -1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -174,7 +185,7 @@ def eval_step(state, batch, class_weight, cfg):
     loss = weighted_cross_entropy(
         logits, batch["label"], class_weight, cfg.ignore_label
     )
-    pred = jnp.argmax(logits, -1)
+    pred = _predict(logits, cfg)
     inter, union, target = intersection_and_union(
         pred, batch["label"], cfg.num_class, cfg.ignore_label
     )

@@ -196,3 +196,50 @@ class TestCheckpointResume:
         restored = ckpt.restore(train_state_dict(fresh))
         fresh, epoch, best = apply_train_state(fresh, restored, weights_only=True)
         assert epoch == 0 and best == 0.0  # --pretrain semantics
+
+
+class TestScanNetProtocol:
+    """ScanNet wiring: ignore-0 labels + the argmax remap (never predict
+    class 0 — reference tool/train.py:458-468)."""
+
+    @pytest.fixture(scope="class")
+    def cfg(self):
+        return train_seg.SegConfig(
+            num_class=21,
+            ignore_label=0,
+            pred_ignore0=True,
+            voxel_max=128,
+            batch_size=2,
+            num_sector=2,
+        )
+
+    def test_micro_train_never_predicts_zero(self, cfg, rng):
+        state = train_seg.create_state(cfg, n_points=128, key=jax.random.PRNGKey(0))
+        w = jnp.ones((cfg.num_class,), jnp.float32)
+        samples = []
+        for b in range(2):
+            n = 128 - 13 * b
+            coord = rng.randn(n, 3).astype(np.float32)
+            feat = rng.rand(n, 3).astype(np.float32)
+            label = rng.randint(0, cfg.num_class, n).astype(np.int64)
+            samples.append((coord, feat, label))
+        from repsurf_tpu.data.s3dis import pad_batch
+
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in pad_batch(samples, 128, ignore_index=0).items()
+        }
+        losses = []
+        for i in range(4):
+            state, loss, _ = train_seg.train_step(
+                state, batch, w, jax.random.PRNGKey(i), cfg
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+        _, pred, (inter, union, target) = train_seg.eval_step(
+            state, batch, w, cfg
+        )
+        pred = np.asarray(pred)
+        assert (pred >= 1).all() and (pred <= 20).all()
+        # class 0 (unannotated) contributes nothing to the counters
+        assert float(np.asarray(target)[0]) == 0.0

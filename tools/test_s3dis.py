@@ -34,6 +34,10 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    from repsurf_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     import numpy as np
 
     from repsurf_tpu.nn.metrics import iou_from_counts

@@ -48,6 +48,10 @@ def main():
     args = parse_args()
     import jax
 
+    from repsurf_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+
     from repsurf_tpu.data.scanobjectnn import ScanObjectNNDataset, SyntheticClouds
     from repsurf_tpu.train.checkpoint import (
         BestCheckpointer,

@@ -67,6 +67,10 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    from repsurf_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
     import jax.numpy as jnp
     import numpy as np
 
@@ -90,8 +94,27 @@ def main():
     )
     from repsurf_tpu.utils import ScalarWriter, StepTimer, get_logger, set_seed
 
+    # per-dataset constants (reference tool/train.py:452-470)
+    if args.dataset == "ScanNet":
+        from repsurf_tpu.data import scannet
+
+        ds_num_class = scannet.NUM_CLASS
+        ds_ignore = scannet.IGNORE_LABEL
+        if args.voxel_size == 0.04:
+            args.voxel_size = scannet.VOXEL_SIZE
+        if args.voxel_max == 80000:
+            args.voxel_max = scannet.VOXEL_MAX
+        if args.loop == 30:
+            args.loop = scannet.LOOP
+    else:
+        ds_num_class, ds_ignore = 13, 255
+
     cfg = SegConfig(
         model=args.model,
+        dataset=args.dataset,
+        num_class=ds_num_class,
+        ignore_label=ds_ignore,
+        pred_ignore0=(args.dataset == "ScanNet"),
         test_area=args.test_area,
         batch_size=args.batch_size,
         batch_size_val=args.batch_size_val,
@@ -124,7 +147,7 @@ def main():
         color_drop=args.color_drop,
     )
 
-    exp = os.path.join(args.log_root, "S3DIS", args.log_dir or "default")
+    exp = os.path.join(args.log_root, args.dataset, args.log_dir or "default")
     logger = get_logger(os.path.join(exp, "logs"), "train_seg")
     writer = ScalarWriter(os.path.join(exp, "logs"))
     logger.info(cfg)
@@ -139,32 +162,57 @@ def main():
 
     coord_t = coord_transform_from_flags(cfg, S3DIS_AUG_ARGS)
     rgb_t = rgb_transform_from_flags(cfg)
-    train_set = S3DISDataset(
-        args.data_dir,
-        "train",
-        test_area=cfg.test_area,
-        loop=cfg.loop,
-        voxel_size=cfg.voxel_size,
-        voxel_max=cfg.voxel_max,
-        coord_transform=coord_t,
-        rgb_transform=rgb_t,
-        shuffle_index=True,
-    )
-    val_set = S3DISDataset(
-        args.data_dir,
-        "val",
-        test_area=cfg.test_area,
-        loop=cfg.loop,
-        voxel_size=cfg.voxel_size,
-        voxel_max=cfg.voxel_max,
-    )
+    if args.dataset == "ScanNet":
+        from repsurf_tpu.data.scannet import ScanNetDataset
+
+        train_set = ScanNetDataset(
+            args.data_dir,
+            "train",
+            loop=cfg.loop,
+            voxel_size=cfg.voxel_size,
+            voxel_max=cfg.voxel_max,
+            coord_transform=coord_t,
+            rgb_transform=rgb_t,
+            shuffle_index=True,
+        )
+        val_set = ScanNetDataset(
+            args.data_dir,
+            "val",
+            loop=cfg.loop,
+            voxel_size=cfg.voxel_size,
+            voxel_max=cfg.voxel_max,
+        )
+    else:
+        train_set = S3DISDataset(
+            args.data_dir,
+            "train",
+            test_area=cfg.test_area,
+            loop=cfg.loop,
+            voxel_size=cfg.voxel_size,
+            voxel_max=cfg.voxel_max,
+            coord_transform=coord_t,
+            rgb_transform=rgb_t,
+            shuffle_index=True,
+        )
+        val_set = S3DISDataset(
+            args.data_dir,
+            "val",
+            test_area=cfg.test_area,
+            loop=cfg.loop,
+            voxel_size=cfg.voxel_size,
+            voxel_max=cfg.voxel_max,
+        )
     logger.info(f"train rooms={len(train_set.rooms)} val rooms={len(val_set.rooms)}")
 
     state = create_state(cfg, n_points=cfg.voxel_max, key=root_key)
     state = replicate(state, mesh)
-    class_weight = replicate(
-        jnp.asarray(CLASS_WEIGHTS[cfg.test_area], jnp.float32), mesh
-    )
+    if args.dataset == "ScanNet":
+        from repsurf_tpu.data.scannet import CLASS_WEIGHTS as SCANNET_W
+
+        weights = SCANNET_W
+    else:
+        weights = CLASS_WEIGHTS[cfg.test_area]
+    class_weight = replicate(jnp.asarray(weights, jnp.float32), mesh)
     ckpt = BestCheckpointer(os.path.join(exp, "checkpoints"))
     host_rng = np.random.RandomState(cfg.seed)
     best_iou, start_epoch = 0.0, 0
