@@ -5,7 +5,7 @@ All ops are batched over a leading B dimension, use static shapes, and take
 an optional ``valid: [B]`` count for padded batches.
 """
 
-from .bucket_knn import bucket_knn, bucket_knn_check
+from .bucket_knn import bucket_knn
 from .gather import index_points, index_points_multi, resort_points, select_group
 from .interpolate import interpolate_weights, three_interpolate
 from .masking import BIG_DIST2, counts_to_mask, full_counts
@@ -18,7 +18,6 @@ __all__ = [
     "ball_group",
     "ball_query",
     "bucket_knn",
-    "bucket_knn_check",
     "counts_to_mask",
     "farthest_point_sample",
     "farthest_point_sample_xla",

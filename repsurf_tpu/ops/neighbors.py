@@ -40,6 +40,8 @@ from .masking import BIG_DIST2, counts_to_mask
 # scene scale while keeping tiles large for small clouds.
 _DEFAULT_CHUNK = 2048
 _CHUNK_BYTES = 2**28
+# clouds at least this large route to the bucket-grid kNN
+_BUCKET_MIN_N = 16384
 
 
 def _pairwise_dist2(q, p):
@@ -98,14 +100,33 @@ def knn(k, xyz, new_xyz, valid=None, new_valid=None, chunk=_DEFAULT_CHUNK, impl=
         missing slots carry sqrt(1e10), mirroring the reference).
     """
     if impl == "auto":
-        # pallas kernel needs the [block_q >= 8, N] distance tile resident in
-        # VMEM; above ~500k points that cannot fit and the Mosaic failure is
-        # opaque — dispatch to the chunked XLA formulation instead
-        fits_vmem = xyz.shape[1] <= 500_000
-        impl = (
-            "pallas"
-            if jax.default_backend() == "tpu" and k <= 256 and fits_vmem
-            else "xla"
+        # The bucket-grid path (impl="bucket") does ~30x less arithmetic at
+        # scene scale but loses to the VMEM-resident scan on v5e: XLA's
+        # scatter/gather cost (~8 ns/row building its candidate tables)
+        # exceeds the scan's brute-force VPU time at every reference shape
+        # (measured: k=9 self-80k 465 vs 263 ms, k=32 20k-q 588 vs 198 ms,
+        # batch 2).  It stays available for >500k-point clouds where the
+        # scan's VMEM tile no longer fits.
+        if jax.default_backend() == "tpu" and k <= 256 and xyz.shape[1] <= 500_000:
+            impl = "pallas"
+        elif xyz.shape[1] > 500_000:
+            impl = "bucket"
+        else:
+            impl = "xla"
+    if impl == "bucket":
+        from .bucket_knn import bucket_knn
+
+        # the cell pitch adapts to measured point spacing inside bucket_knn;
+        # here only size the static tables: candidate slots cover the
+        # worst-case (volumetric) density at that pitch, and the grid budget
+        # caps the [G^3, cand_max, 4] table at ~512 MB
+        cand_max = -(-max(128, 16 * k) // 128) * 128
+        g_cap = int((512 * 2**20 / (16 * cand_max)) ** (1 / 3))
+        grid = max(16, min(48, g_cap))
+        xyz = jax.lax.stop_gradient(xyz)
+        new_xyz = jax.lax.stop_gradient(new_xyz)
+        return bucket_knn(
+            k, xyz, new_xyz, valid=valid, grid=grid, cand_max=cand_max
         )
     if impl == "pallas":
         from .pallas.knn import knn_pallas

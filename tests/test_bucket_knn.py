@@ -1,57 +1,70 @@
-"""Bucket-grid kNN: exact agreement with the brute-force kernel whenever the
-grid contract (cell_size > kth distance, per-cell count <= cap) holds."""
+"""Bucket-grid kNN v2: exact agreement with the brute-force kernel under ANY
+configuration — the in-jit guard + fallback makes mis-sized grids slow, not
+wrong."""
 
 import numpy as np
 
-from repsurf_tpu.ops.bucket_knn import bucket_knn, bucket_knn_check
+from repsurf_tpu.ops.bucket_knn import bucket_knn
 from repsurf_tpu.ops.neighbors import knn_xla
+from tests.oracles import knn_oracle
 
 
 def _dense_cloud(rng, B=2, N=2000, extent=4.0):
     return (rng.rand(B, N, 3) * extent).astype(np.float32)
 
 
+def _check(k, xyz, q, valid=None, **kw):
+    # compare against the direct-difference NumPy oracle: bucket_knn uses
+    # the same distance formulation, so indices match exactly including
+    # ties — the XLA twin's matmul form can swap near-equal pairs
+    bi, bd = bucket_knn(k, xyz, q, valid=valid, **kw)
+    oi, od = knn_oracle(k, xyz, q, valid=valid)
+    np.testing.assert_array_equal(np.asarray(bi), oi)
+    np.testing.assert_allclose(np.asarray(bd), od, atol=1e-5)
+
+
 class TestBucketKNN:
     def test_matches_bruteforce_dense(self, rng):
         xyz = _dense_cloud(rng)
-        q = xyz[:, :500]
-        bi, bd = bucket_knn(8, xyz, q, cell_size=1.0, grid=8, cell_cap=256)
-        xi, xd = knn_xla(8, xyz, q)
-        np.testing.assert_array_equal(np.asarray(bi), np.asarray(xi))
-        np.testing.assert_allclose(np.asarray(bd), np.asarray(xd), atol=3e-3)
+        _check(8, xyz, xyz[:, :500], grid=8)
+
+    def test_self_query(self, rng):
+        xyz = _dense_cloud(rng, B=1, N=1500)
+        _check(9, xyz, xyz, grid=8)
 
     def test_masked(self, rng):
         xyz = _dense_cloud(rng, B=2, N=800)
         valid = np.array([800, 300], np.int32)
-        q = xyz[:, :200]
-        bi, _ = bucket_knn(6, xyz, q, cell_size=1.5, valid=valid, grid=8,
-                           cell_cap=512)
-        xi, _ = knn_xla(6, xyz, q, valid=valid)
-        np.testing.assert_array_equal(np.asarray(bi), np.asarray(xi))
+        _check(6, xyz, xyz[:, :200], valid=valid, grid=8)
 
-    def test_check_flags_overflow(self, rng):
-        # everything in one cell: counts must exceed a small cap
-        xyz = (rng.rand(1, 500, 3) * 0.01).astype(np.float32)
-        max_count, _ = bucket_knn_check(
-            xyz, cell_size=1.0, kth_dist=np.float32(0.1), grid=8, cell_cap=64
-        )
-        assert int(max_count) == 500
+    def test_clustered_overflow_falls_back(self, rng):
+        # everything in one tight cluster: a single cell overflows cand_max,
+        # forcing per-query fallback (and possibly the full-cond path)
+        xyz = (rng.randn(1, 600, 3) * 0.01).astype(np.float32)
+        _check(5, xyz, xyz[:, :100], grid=8, cand_max=128, fallback_max=32)
 
-    def test_check_radius(self, rng):
-        xyz = _dense_cloud(rng, B=1, N=500)
-        _, ok = bucket_knn_check(
-            xyz, cell_size=0.5, kth_dist=np.asarray([0.6], np.float32), grid=8
-        )
-        assert not bool(ok)
-        _, ok = bucket_knn_check(
-            xyz, cell_size=0.5, kth_dist=np.asarray([0.3], np.float32), grid=8
-        )
-        assert bool(ok)
+    def test_duplicate_points_tie_order(self, rng):
+        base = _dense_cloud(rng, B=1, N=300)
+        xyz = np.concatenate([base, base], axis=1)  # exact ties everywhere
+        _check(7, xyz, xyz[:, :150], grid=8)
 
-    def test_self_query_first(self, rng):
-        xyz = _dense_cloud(rng, B=1, N=600)
-        bi, bd = bucket_knn(4, xyz, xyz, cell_size=1.0, grid=8, cell_cap=512)
-        np.testing.assert_array_equal(
-            np.asarray(bi)[0, :, 0], np.arange(600)
-        )
-        np.testing.assert_allclose(np.asarray(bd)[0, :, 0], 0.0)
+    def test_queries_outside_bbox(self, rng):
+        xyz = _dense_cloud(rng, B=1, N=700)
+        q = xyz[:, :100] + np.float32(5.0)  # all outside the point bbox
+        _check(4, xyz, q, grid=8)
+
+    def test_sparse_sample_fewer_than_k(self, rng):
+        xyz = _dense_cloud(rng, B=1, N=64)
+        valid = np.array([3], np.int32)  # fewer points than k
+        bi, bd = bucket_knn(6, xyz, xyz[:, :10], valid=valid, grid=4)
+        oi, _ = knn_oracle(6, xyz, xyz[:, :10], valid=valid)
+        np.testing.assert_array_equal(np.asarray(bi), oi)
+        assert np.allclose(np.asarray(bd)[0, :, 3:], np.sqrt(1e10))
+
+    def test_coarse_grid_still_exact(self, rng):
+        # grid=2: cells so coarse most queries pass the guard trivially;
+        # grid=16 on few points: most cells empty, k-th dist > pitch =>
+        # heavy fallback. Both must stay exact.
+        xyz = _dense_cloud(rng, B=1, N=400)
+        _check(8, xyz, xyz[:, :80], grid=2)
+        _check(8, xyz, xyz[:, :80], grid=16, fallback_max=16)

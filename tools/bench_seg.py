@@ -25,13 +25,17 @@ def main():
     from repsurf_tpu.data.s3dis import CLASS_WEIGHTS, pad_batch
     from repsurf_tpu.train.train_seg import SegConfig, create_state, train_step
 
+    from repsurf_tpu.data.synthetic_scene import synthetic_room
+
     n, b = 80000, 2
     cfg = SegConfig(voxel_max=n, batch_size=b)
     state = create_state(cfg, n_points=n, key=jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
+    # surface-sampled rooms: spatial pruning behaves like production S3DIS
+    # (voxelized surfaces), which gaussian blobs misrepresent
     samples = [
         (
-            rng.randn(n, 3).astype(np.float32) * 3,
+            synthetic_room(n, rng=rng),
             rng.rand(n, 3).astype(np.float32),
             rng.randint(0, 13, n).astype(np.int64),
         )
