@@ -129,9 +129,14 @@ def umbrella_features(
     G = k - 1 if drop_self else k
     C = 10 if return_dist else 9
     if impl == "auto":
+        from ..ops.neighbors import _BUCKET_MIN_N
+
+        # scene scale: the fused kernel's in-VMEM O(N^2) scan loses to the
+        # XLA composition once its internal kNN routes to the window kernel
+        small = xyz.shape[1] < _BUCKET_MIN_N
         impl = (
             "pallas"
-            if jax.default_backend() == "tpu" and G * C <= 128
+            if jax.default_backend() == "tpu" and G * C <= 128 and small
             else "xla"
         )
 

@@ -100,19 +100,27 @@ def knn(k, xyz, new_xyz, valid=None, new_valid=None, chunk=_DEFAULT_CHUNK, impl=
         missing slots carry sqrt(1e10), mirroring the reference).
     """
     if impl == "auto":
-        # The bucket-grid path (impl="bucket") does ~30x less arithmetic at
-        # scene scale but loses to the VMEM-resident scan on v5e: XLA's
-        # scatter/gather cost (~8 ns/row building its candidate tables)
-        # exceeds the scan's brute-force VPU time at every reference shape
-        # (measured: k=9 self-80k 465 vs 263 ms, k=32 20k-q 588 vs 198 ms,
-        # batch 2).  It stays available for >500k-point clouds where the
-        # scan's VMEM tile no longer fits.
-        if jax.default_backend() == "tpu" and k <= 256 and xyz.shape[1] <= 500_000:
+        # Scene scale on TPU routes to the window-pruned kernel
+        # (ops/pallas/knn_window.py): cell-sorted candidate runs DMA'd into
+        # VMEM cut the scan's O(Q*N) work ~20x (measured at batch 2 on
+        # synthetic rooms: k=9 self-80k 188 vs 263 ms, k=32 20k-q 72 vs
+        # 198 ms, k=3 80k-q 36 ms).  The XLA bucket path (impl="bucket")
+        # does the same pruning without Pallas but loses to BOTH on v5e —
+        # XLA scatter/gather costs ~8 ns/row building its tables — and
+        # remains for clouds beyond the scan kernels' VMEM budgets.
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and k <= 128 and _BUCKET_MIN_N <= xyz.shape[1] <= 500_000:
+            impl = "window"
+        elif on_tpu and k <= 256 and xyz.shape[1] <= 500_000:
             impl = "pallas"
         elif xyz.shape[1] > 500_000:
             impl = "bucket"
         else:
             impl = "xla"
+    if impl == "window":
+        from .pallas.knn_window import knn_window
+
+        return knn_window(k, xyz, new_xyz, valid=valid)
     if impl == "bucket":
         from .bucket_knn import bucket_knn
 

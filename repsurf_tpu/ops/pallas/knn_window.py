@@ -1,0 +1,416 @@
+"""Window-pruned Pallas kNN: cell-sorted candidate runs DMA'd into VMEM.
+
+The VMEM-resident scan (ops/pallas/knn.py) is compute-bound at scene scale:
+every query still touches all N points (~2 VPU passes per extraction round,
+near the formulation's floor).  The XLA bucket path (ops/bucket_knn.py)
+prunes the arithmetic ~30x but drowns in scatter/gather row costs.  This
+kernel keeps the pruning and kills the gathers:
+
+  * points are sorted by 3-D grid cell (z fastest) on the XLA side, so one
+    (x, y) column's z-window is a CONTIGUOUS run of the sorted array;
+  * queries are sorted by cell and PADDED so no query block ever spans two
+    (x, y) columns — a block's candidates are then exactly 9 runs (its
+    column's 3x3 xy-neighborhood, each cut to the block's z-range +-1),
+    fetched with plain async DMAs into a compact packed window (source
+    starts rounded down to the 128-lane DMA alignment and masked; packed
+    destinations 128-aligned);
+  * per block the kernel computes [QBLK, W] direct-difference distances
+    and extracts k by min + masked-min rounds over W ~ 2-3k candidate
+    lanes instead of N;
+  * ties break on the LOWEST GLOBAL INDEX (the candidate's original index
+    rides along as an f32 lane, exact below 2^24), matching the brute
+    kernels bit-for-bit;
+  * EXACTNESS GUARD on the XLA side: the 3x3-column z-window provably
+    contains all true neighbors iff the k-th distance is within one cell
+    pitch on every axis; queries failing that — or blocks whose runs were
+    truncated or overflowed the packed window, or that fell outside the
+    grid — are re-solved against the full cloud with a tiered fallback.
+    Wrong configurations are slow, never wrong.
+
+Why 3-D cells: 2-D slab variants fail structurally on rooms — an
+axis-perpendicular wall lives in ONE slab and overflows any per-slab
+budget (measured: 9k-point runs), while 3-D cells bound every run by
+surface-patch occupancy.
+
+Replaces the reference's offset kNN heap kernel
+(segmentation/modules/pointops/src/knnquery/knnquery_cuda_kernel.cu:65-108)
+as the scene-scale fast path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..masking import BIG_DIST2
+
+_GIDX_BIG = 3e7  # > any real index (python float: jnp scalars would be
+# captured as pallas consts)
+_NRUNS = 9
+_RUN_PAD = 1152  # static per-run DMA size: run cap 1024 + 128 for alignment
+# (corner columns of a room — two walls + floor + ceiling — reach ~900 points)
+_RUN_CAP = _RUN_PAD - 128
+
+
+def _window_kernel(
+    k, w_lanes,
+    tab_sref, p4_ref, q_ref, idx_ref, dist_ref, cand_ref, sems,
+):
+    """tab_sref: flat SMEM table, per (block, run): [src, dst, len]."""
+    b = pl.program_id(0)
+    blk = pl.program_id(1)
+    nblk = pl.num_programs(1)
+    base = (b * nblk + blk) * _NRUNS * 3
+
+    def run_info(j):
+        src = tab_sref[base + j * 3 + 0]
+        dst = tab_sref[base + j * 3 + 1]
+        ln = tab_sref[base + j * 3 + 2]
+        aligned = pl.multiple_of((src // 128) * 128, 128)
+        return aligned, src - aligned, pl.multiple_of(dst, 128), ln
+
+    for j in range(_NRUNS):
+        a, _, d, _ = run_info(j)
+        pltpu.make_async_copy(
+            p4_ref.at[b, :, pl.ds(a, _RUN_PAD)],
+            cand_ref.at[:, pl.ds(d, _RUN_PAD)],
+            sems.at[j],
+        ).start()
+
+    qx = q_ref[0, :, 0:1]
+    qy = q_ref[0, :, 1:2]
+    qz = q_ref[0, :, 2:3]
+
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1)
+    valid_w = jnp.zeros((1, w_lanes), bool)
+    for j in range(_NRUNS):
+        _, delta, d, ln = run_info(j)
+        local = lane_w - d
+        valid_w = valid_w | ((local >= delta) & (local < delta + ln))
+
+    for j in range(_NRUNS):
+        a, _, d, _ = run_info(j)
+        pltpu.make_async_copy(
+            p4_ref.at[b, :, pl.ds(a, _RUN_PAD)],
+            cand_ref.at[:, pl.ds(d, _RUN_PAD)],
+            sems.at[j],
+        ).wait()
+
+    px = cand_ref[0:1, :w_lanes]
+    py = cand_ref[1:2, :w_lanes]
+    pz = cand_ref[2:3, :w_lanes]
+    pg = cand_ref[3:4, :w_lanes]  # original index as f32 (exact < 2^24)
+
+    d2 = jnp.square(qx - px) + jnp.square(qy - py) + jnp.square(qz - pz)
+    d2 = jnp.where(valid_w, d2, BIG_DIST2)
+
+    rows, _ = d2.shape
+    k_pad = idx_ref.shape[2]
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (rows, k_pad), 1)
+    acc_i = jnp.zeros((rows, k_pad), jnp.int32)
+    acc_d = jnp.zeros((rows, k_pad), jnp.float32)
+    for r in range(k):
+        m = jnp.min(d2, axis=1)
+        # tie-break on the smallest ORIGINAL index among equal distances —
+        # window lane order is cell order, not index order
+        gi = jnp.min(jnp.where(d2 == m[:, None], pg, _GIDX_BIG), axis=1)
+        sel = (d2 == m[:, None]) & (pg == gi[:, None])
+        d = jnp.minimum(m, BIG_DIST2)
+        pad = d >= BIG_DIST2
+        i_out = jnp.where(pad, 0.0, gi).astype(jnp.int32)
+        slot = lane_k == r
+        acc_i = jnp.where(slot, i_out[:, None], acc_i)
+        acc_d = jnp.where(slot, jnp.sqrt(d)[:, None], acc_d)
+        d2 = jnp.where(sel, jnp.inf, d2)
+    idx_ref[0] = acc_i
+    dist_ref[0] = acc_d
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "grid2d", "grid_z", "qblk", "w_budget", "fallback_max",
+        "interpret",
+    ),
+)
+def knn_window(
+    k,
+    xyz,
+    new_xyz,
+    valid=None,
+    grid2d=32,
+    grid_z=12,
+    qblk=None,
+    w_budget=4096,
+    fallback_max=8192,
+    interpret=False,
+):
+    """Exact batched kNN via the window-pruned Pallas kernel.
+
+    Same semantics as ops.neighbors.knn (ascending distances, lowest-index
+    ties, idx-0 / sqrt(1e10) padding).
+
+    Args:
+      k: static neighbor count.
+      xyz: [B, N, 3]; new_xyz: [B, M, 3]; valid: optional [B] counts.
+      grid2d: static cells per x/y axis; grid_z: static z cells.
+      qblk: static queries per kernel block (blocks never span (x, y)
+        columns; None = auto from query density per column).
+      w_budget: static packed candidate window width (lane multiple).
+      fallback_max: static exact re-solve budget for guard failures.
+    """
+    from ..bucket_knn import _extract_rounds
+
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    G = grid2d
+    Gz = grid_z
+    G2 = G * G
+    if qblk is None:
+        qblk = 64 if M >= 48 * G2 else 32
+    if valid is None:
+        valid = jnp.full((B,), N, jnp.int32)
+    xyz = jax.lax.stop_gradient(xyz.astype(jnp.float32))
+    new_xyz = jax.lax.stop_gradient(new_xyz.astype(jnp.float32))
+    valid = valid.astype(jnp.int32)
+
+    n_pad = _round_up(N, 128) + _RUN_PAD  # DMA windows may overhang
+    # column padding bound: every occupied column wastes < qblk slots
+    m_pad = _round_up(M + qblk * min(G2, M), qblk)
+    nblk = m_pad // qblk
+    k_pad = _round_up(k, 128)
+    w_lanes = w_budget
+
+    def prep(x, q, nv):
+        point_ok = jnp.arange(N) < nv
+        okf = point_ok[:, None]
+        lo = jnp.min(jnp.where(okf, x, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(okf, x, -jnp.inf), axis=0)
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
+        ext = jnp.maximum(hi - lo, 1e-6)
+        cs = ext / jnp.asarray([G, G, Gz], jnp.float32)
+        cmax = jnp.asarray([G - 1, G - 1, Gz - 1])
+
+        pc = jnp.clip(jnp.floor((x - lo) / cs).astype(jnp.int32), 0, cmax)
+        pcid = (pc[:, 0] * G + pc[:, 1]) * Gz + pc[:, 2]
+        pcid = jnp.where(point_ok, pcid, G2 * Gz)
+        order = jnp.argsort(pcid, stable=True).astype(jnp.int32)
+        counts = jnp.bincount(
+            jnp.minimum(pcid, G2 * Gz), length=G2 * Gz + 1
+        )[: G2 * Gz]
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+        )
+        p4 = jnp.concatenate(
+            [x[order], order.astype(jnp.float32)[:, None]], axis=1
+        ).T
+        p4 = jnp.pad(p4, ((0, 0), (0, n_pad - N)))
+
+        qc_raw = jnp.floor((q - lo) / cs).astype(jnp.int32)
+        outside = jnp.any(
+            (qc_raw < 0) | (qc_raw > cmax[None, :]), axis=-1
+        )
+        qc = jnp.clip(qc_raw, 0, cmax)
+        qcol = qc[:, 0] * G + qc[:, 1]
+        qcid = qcol * Gz + qc[:, 2]
+        qord = jnp.argsort(qcid, stable=True).astype(jnp.int32)
+        s_col = qcol[qord]
+        s_qz = qc[:, 2][qord]
+
+        # padded positions: every column starts at a fresh qblk boundary,
+        # so no block spans two columns
+        col_counts = jnp.bincount(s_col, length=G2).astype(jnp.int32)
+        col_blocks = -(-col_counts // qblk)
+        col_pad_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(col_blocks * qblk).astype(jnp.int32)]
+        )
+        col_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(col_counts).astype(jnp.int32)]
+        )
+        rank = jnp.arange(M, dtype=jnp.int32) - col_start[s_col]
+        pos = col_pad_start[s_col] + rank  # padded slot of sorted query i
+
+        # owning column per block (forward-filled over multi-block columns
+        # and trailing padding blocks)
+        occ = col_counts > 0
+        blk_seed = jnp.full((nblk,), -1, jnp.int32)
+        blk_seed = blk_seed.at[
+            jnp.where(occ, col_pad_start[:-1] // qblk, nblk)
+        ].max(
+            jnp.where(occ, jnp.arange(G2, dtype=jnp.int32), -1), mode="drop"
+        )
+        blk_col = jnp.maximum(
+            jax.lax.associative_scan(jnp.maximum, blk_seed), 0
+        )
+
+        # padded query stream: empty slots replicate the owning column's
+        # first query (their results are never read back)
+        seed_q = jnp.minimum(col_start[blk_col], M - 1)
+        slot_q = jnp.repeat(seed_q, qblk)
+        slot_q = slot_q.at[pos].set(
+            jnp.arange(M, dtype=jnp.int32), mode="drop"
+        )
+        qs_pad = q[qord[jnp.clip(slot_q, 0, M - 1)]]
+
+        # per-block z-range over REAL queries only
+        z_fill_lo = jnp.full((nblk * qblk,), Gz, jnp.int32).at[pos].set(
+            s_qz, mode="drop"
+        )
+        z_lo = jnp.min(z_fill_lo.reshape(nblk, qblk), axis=1)
+        z_lo = jnp.where(z_lo >= Gz, 0, z_lo)
+        z_fill_hi = jnp.full((nblk * qblk,), -1, jnp.int32).at[pos].set(
+            s_qz, mode="drop"
+        )
+        z_hi = jnp.maximum(jnp.max(z_fill_hi.reshape(nblk, qblk), axis=1), 0)
+        bz_lo = jnp.maximum(z_lo - 1, 0)
+        bz_hi = jnp.minimum(z_hi + 1, Gz - 1)
+
+        bcx = blk_col // G
+        bcy = blk_col % G
+        entries = []
+        dst = jnp.zeros((nblk,), jnp.int32)
+        overflow = jnp.zeros((nblk,), bool)
+        for dxx in (-1, 0, 1):
+            for dyy in (-1, 0, 1):
+                nx = bcx + dxx
+                ny = bcy + dyy
+                okc = (nx >= 0) & (nx < G) & (ny >= 0) & (ny < G)
+                nc = jnp.clip(nx, 0, G - 1) * G + jnp.clip(ny, 0, G - 1)
+                s = starts[nc * Gz + bz_lo]
+                e = starts[nc * Gz + bz_hi + 1]
+                ln = jnp.where(okc, e - s, 0)
+                overflow = overflow | (ln > _RUN_CAP)
+                ln = jnp.minimum(ln, _RUN_CAP)
+                s = jnp.clip(s, 0, n_pad - _RUN_PAD)
+                delta = s - (s // 128) * 128
+                width = -(-(delta + ln) // 128) * 128
+                overflow = overflow | (dst + width > w_lanes)
+                entry_dst = jnp.clip(dst, 0, w_lanes - 128)
+                entries.append(jnp.stack([s, entry_dst, ln], axis=1))
+                dst = dst + width
+        tab = jnp.stack(entries, axis=1)  # [nblk, 9, 3]
+        bound = jnp.min(cs)
+        return (
+            p4, qs_pad, qord, pos, tab, overflow, bound, outside, point_ok,
+        )
+
+    preps = [prep(xyz[b], new_xyz[b], valid[b]) for b in range(B)]
+    p4 = jnp.stack([p[0] for p in preps])
+    qs = jnp.stack([p[1] for p in preps]).reshape(B, nblk * qblk, 3)
+    tab_flat = jnp.stack([p[4] for p in preps]).reshape(-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, qblk, 3), lambda b, m, t: (b, m, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, qblk, k_pad), lambda b, m, t: (b, m, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, qblk, k_pad), lambda b, m, t: (b, m, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, w_lanes + _RUN_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((_NRUNS,)),
+        ],
+    )
+
+    idx_s, dist_s = pl.pallas_call(
+        functools.partial(_window_kernel, k, w_lanes),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nblk * qblk, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, nblk * qblk, k_pad), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(tab_flat, p4, qs)
+    idx_s = idx_s[:, :, :k]
+    dist_s = dist_s[:, :, :k]
+
+    outs_i, outs_d = [], []
+    for b in range(B):
+        (_, _, qord, pos, _, overflow, bound, outside, point_ok) = preps[b]
+        # padded-slot results back to original query order: sorted query i
+        # sits at padded slot pos[i] and original row qord[i]
+        oi = jnp.zeros((M, k), jnp.int32).at[qord].set(
+            idx_s[b][pos], mode="drop"
+        )
+        od = jnp.zeros((M, k), jnp.float32).at[qord].set(
+            dist_s[b][pos], mode="drop"
+        )
+        q_overflow = jnp.zeros((M,), bool).at[qord].set(
+            overflow[jnp.clip(pos // qblk, 0, nblk - 1)], mode="drop"
+        )
+        kth = od[:, -1]
+        bad = (kth > bound * 0.999) | q_overflow | outside
+
+        def brute(queries):
+            CH = 512
+            m = queries.shape[0]
+            mp = _round_up(m, CH)
+            qp = jnp.pad(queries, ((0, mp - m), (0, 0))).reshape(
+                mp // CH, CH, 3
+            )
+
+            def one(qc_):
+                d2_ = jnp.sum(
+                    jnp.square(qc_[:, None, :] - xyz[b][None, :, :]), axis=-1
+                )
+                d2_ = jnp.where(point_ok[None, :], d2_, BIG_DIST2)
+                return _extract_rounds(
+                    d2_,
+                    jnp.broadcast_to(
+                        jnp.arange(N, dtype=jnp.int32)[None], d2_.shape
+                    ),
+                    k,
+                )
+
+            fi, fd = jax.lax.map(one, qp)
+            return fi.reshape(mp, k)[:m], fd.reshape(mp, k)[:m]
+
+        n_bad = jnp.sum(bad.astype(jnp.int32))
+        fb = min(fallback_max, M)
+        tiers = sorted({min(256, fb), min(2048, fb), fb})
+
+        def make_resolver(size):
+            def resolve(args):
+                oi, od = args
+                p_ = jnp.nonzero(bad, size=size, fill_value=M)[0]
+                fi, fd = brute(new_xyz[b][jnp.clip(p_, 0, M - 1)])
+                return (
+                    oi.at[p_].set(fi, mode="drop"),
+                    od.at[p_].set(fd, mode="drop"),
+                )
+
+            return resolve
+
+        branches = [lambda a: a]
+        branches += [make_resolver(s) for s in tiers]
+        branches.append(lambda a: brute(new_xyz[b]))
+        sel = jnp.searchsorted(
+            jnp.asarray([1] + [t + 1 for t in tiers]), n_bad, side="right"
+        )
+        oi, od = jax.lax.switch(sel, branches, (oi, od))
+        outs_i.append(oi)
+        outs_d.append(od)
+    return jnp.stack(outs_i), jnp.stack(outs_d)

@@ -68,3 +68,55 @@ class TestBucketKNN:
         xyz = _dense_cloud(rng, B=1, N=400)
         _check(8, xyz, xyz[:, :80], grid=2)
         _check(8, xyz, xyz[:, :80], grid=16, fallback_max=16)
+
+
+class TestKNNWindow:
+    """Window-pruned Pallas kNN (interpret mode) vs the NumPy oracle —
+    exact including lowest-global-index ties."""
+
+    def _check(self, k, xyz, q, valid=None, **kw):
+        from repsurf_tpu.ops.pallas.knn_window import knn_window
+
+        bi, bd = knn_window(k, xyz, q, valid=valid, interpret=True, **kw)
+        oi, od = knn_oracle(k, xyz, q, valid=valid)
+        np.testing.assert_array_equal(np.asarray(bi), oi)
+        np.testing.assert_allclose(np.asarray(bd), od, atol=1e-5)
+
+    def test_matches_oracle(self, rng):
+        xyz = _dense_cloud(rng, B=2, N=1200)
+        self._check(8, xyz, xyz[:, :300], grid2d=8)
+
+    def test_self_query(self, rng):
+        xyz = _dense_cloud(rng, B=1, N=900)
+        self._check(9, xyz, xyz, grid2d=8)
+
+    def test_masked(self, rng):
+        xyz = _dense_cloud(rng, B=2, N=700)
+        valid = np.array([700, 250], np.int32)
+        self._check(6, xyz, xyz[:, :150], valid=valid, grid2d=8)
+
+    def test_duplicates_tie_order(self, rng):
+        base = _dense_cloud(rng, B=1, N=250)
+        xyz = np.concatenate([base, base], axis=1)
+        self._check(7, xyz, xyz[:, :130], grid2d=8)
+
+    def test_overflow_and_outside(self, rng):
+        # a coarse grid concentrates whole columns past the run cap and a
+        # tiny window budget forces packed-window overflow; shifted queries
+        # exercise the outside-grid path — all land in the fallback
+        xyz = _dense_cloud(rng, B=1, N=900)
+        q = np.concatenate(
+            [xyz[:, :80], xyz[:, :40] + np.float32(4.0)], axis=1
+        )
+        self._check(5, xyz, q, grid2d=4, w_budget=1280, fallback_max=64)
+
+    def test_sparse_fewer_than_k(self, rng):
+        from repsurf_tpu.ops.pallas.knn_window import knn_window
+
+        xyz = _dense_cloud(rng, B=1, N=140)
+        valid = np.array([4], np.int32)
+        bi, bd = knn_window(6, xyz, xyz[:, :20], valid=valid, grid2d=4,
+                            interpret=True)
+        oi, _ = knn_oracle(6, xyz, xyz[:, :20], valid=valid)
+        np.testing.assert_array_equal(np.asarray(bi), oi)
+        assert np.allclose(np.asarray(bd)[0, :, 4:], np.sqrt(1e10))
