@@ -21,6 +21,11 @@ import numpy as np
 # incl. FPS preprocess) throughput in clouds/sec.  Placeholder derived from
 # published per-epoch timings of comparable PointNet++-SSG pipelines; the
 # north-star target is >= 3x this per v5e chip (BASELINE.json).
+# Same-host measured anchor (tools/bench_torch_cpu.py, batch 8 x 512 pts):
+# reference torch-CPU 7.3 clouds/sec vs ours-CPU 1025 (141x) — the
+# reference's CPU twins are unoptimized python-loop ops, so that ratio
+# overstates the GPU gap; the placeholder below stays until a torch-GPU
+# measurement exists.
 A100_REFERENCE_CLOUDS_PER_SEC = 4000.0
 
 

@@ -166,6 +166,33 @@ def train_epoch(state, dataset, cfg, epoch, key, rng=None):
     return state, float(np.mean(losses)) if losses else 0.0, acc
 
 
+def train_epoch_sharded(
+    step, params, opt_state, stats_stacked, dataset, cfg, epoch, key, rng=None
+):
+    """One epoch with the shard_map (DataParallel-parity) step from
+    parallel.shard_step.make_cls_train_step: per-device BN, averaged
+    gradients.  Returns (params, opt_state, stats_stacked, loss, acc)."""
+    lr = step_lr(cfg.learning_rate, cfg.decay_step)(epoch)
+    opt_state = set_lr(opt_state, lr)
+    losses, correct, total = [], 0, 0
+    for i, (pts, lbl) in enumerate(
+        iterate_batches(dataset, cfg.batch_size, shuffle=True, drop_last=True, rng=rng)
+    ):
+        sub = jax.random.fold_in(key, i)
+        params, opt_state, stats_stacked, loss, corr = step(
+            params, opt_state, stats_stacked, jnp.asarray(pts),
+            jnp.asarray(lbl), sub,
+        )
+        losses.append(float(loss))
+        correct += int(corr)
+        total += len(lbl)
+    acc = correct / max(total, 1)
+    return (
+        params, opt_state, stats_stacked,
+        float(np.mean(losses)) if losses else 0.0, acc,
+    )
+
+
 def evaluate(state, dataset, cfg, key):
     """Full vote evaluation; returns (single_acc, vote_acc)."""
     sing, vote, total = 0, 0, 0

@@ -41,6 +41,12 @@ def parse_args():
     p.add_argument("--umb_pool", type=str, default="sum")
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="train on synthetic clouds (no dataset needed)")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="devices for --dp_mode shard_map (default: all)")
+    p.add_argument("--dp_mode", type=str, default="single",
+                   choices=["single", "shard_map"],
+                   help="shard_map = the reference nn.DataParallel analog: "
+                        "per-replica BN, averaged gradients")
     return p.parse_args()
 
 
@@ -125,9 +131,46 @@ def main():
         except Exception as e:  # fresh run on incompatible checkpoints
             logger.info(f"no usable checkpoint ({e}); training from scratch")
 
+    sharded = None
+    if args.dp_mode == "shard_map":
+        from repsurf_tpu.parallel.mesh import make_mesh
+        from repsurf_tpu.parallel.shard_step import (
+            make_cls_train_step,
+            stack_batch_stats,
+            unstack_batch_stats,
+        )
+
+        mesh = make_mesh(args.n_devices)
+        n_dev = int(mesh.devices.size)
+        assert cfg.batch_size % n_dev == 0, (
+            f"batch {cfg.batch_size} not divisible over {n_dev} devices"
+        )
+        logger.info(f"shard_map DataParallel over {n_dev} devices")
+        sharded = (
+            make_cls_train_step(cfg, mesh),
+            stack_batch_stats(state.batch_stats, n_dev),
+            unstack_batch_stats,
+        )
+
     for epoch in range(start_epoch, cfg.epoch):
         key = jax.random.fold_in(root_key, epoch)
-        state, loss, acc = train_epoch(state, train_set, cfg, epoch, key, rng=host_rng)
+        if sharded is not None:
+            from repsurf_tpu.train.train_cls import train_epoch_sharded
+
+            step, stats_stacked, unstack = sharded
+            params, opt_state, stats_stacked, loss, acc = train_epoch_sharded(
+                step, state.params, state.opt_state, stats_stacked,
+                train_set, cfg, epoch, key, rng=host_rng,
+            )
+            sharded = (step, stats_stacked, unstack)
+            # rank-0 BN buffers back into the state for eval/checkpointing
+            state = state.replace(
+                params=params,
+                opt_state=opt_state,
+                batch_stats=unstack(stats_stacked, 0),
+            )
+        else:
+            state, loss, acc = train_epoch(state, train_set, cfg, epoch, key, rng=host_rng)
         logger.info(
             f"epoch {epoch + 1}/{cfg.epoch} loss {loss:.4f} acc {acc * 100:.2f}"
         )

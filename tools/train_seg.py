@@ -55,6 +55,12 @@ def parse_args():
     p.add_argument("--return_polar", action="store_true", default=False)
     p.add_argument("--freeze_epoch", default=int(1e6), type=int)
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--bn", type=str, default="global",
+                   choices=["global", "per_device", "sync"],
+                   help="global = jit sharding (global-batch BN stats); "
+                        "per_device = reference default (shard_map, "
+                        "unsynchronized per-device BN); sync = --sync_bn "
+                        "analog under shard_map")
     p.add_argument("--workers", type=int, default=0,
                    help="prefetch worker processes (0 = synchronous)")
     p.add_argument("--resume", type=str, default=None,
@@ -233,6 +239,20 @@ def main():
         ckpt.best_metric = best_iou
         logger.info(f"restored from {path} (epoch {start_epoch}, best {best_iou:.4f})")
 
+    sharded_step, stats_stacked, unstack = None, None, None
+    if args.bn != "global":
+        from repsurf_tpu.parallel.shard_step import (
+            make_seg_train_step,
+            stack_batch_stats,
+            unstack_batch_stats,
+        )
+
+        bn_mode = "per_device" if args.bn == "per_device" else "sync"
+        sharded_step = make_seg_train_step(cfg, mesh, bn=bn_mode)
+        stats_stacked = stack_batch_stats(state.batch_stats, n_dev)
+        unstack = unstack_batch_stats
+        logger.info(f"shard_map training step, bn={bn_mode}")
+
     def batches(ds, bs, shuffle):
         order = np.arange(len(ds))
         if shuffle:
@@ -274,9 +294,20 @@ def main():
             timer.data_loaded()
             batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
             key = jax.random.fold_in(jax.random.fold_in(root_key, epoch), i)
-            state, loss, (inter, union, target) = train_step(
-                state, batch, class_weight, key, cfg, freeze=freeze
-            )
+            if sharded_step is not None:
+                params, opt_state, stats_stacked, loss, (inter, union, target) = (
+                    sharded_step(
+                        state.params, state.opt_state, stats_stacked,
+                        batch, class_weight, key, freeze=freeze,
+                    )
+                )
+                state = state.replace(
+                    step=state.step + 1, params=params, opt_state=opt_state
+                )
+            else:
+                state, loss, (inter, union, target) = train_step(
+                    state, batch, class_weight, key, cfg, freeze=freeze
+                )
             losses.append(float(loss))
             tot += np.stack(
                 [np.asarray(inter), np.asarray(union), np.asarray(target)]
@@ -297,6 +328,10 @@ def main():
         writer.add_scalar("mAcc_train", float(macc), epoch + 1)
         writer.add_scalar("allAcc_train", float(allacc), epoch + 1)
 
+        if sharded_step is not None:
+            # rank-0 BN buffers back into the state for eval/checkpointing
+            # (the torch convention: rank 0's running stats get saved)
+            state = state.replace(batch_stats=unstack(stats_stacked, 0))
         if epoch + 1 > cfg.min_val and (epoch + 1) % cfg.val_freq == 0:
             tot = np.zeros((3, cfg.num_class))
             vlosses = []
