@@ -65,9 +65,26 @@ def _feature_order(style, return_dist):
     return ("cx", "cy", "cz", "rho", "theta", "phic", "ux", "uy", "uz", "posv")
 
 
+def _split3_kernel(x):
+    """f32 -> three bf16 terms summing exactly to x (mantissa masking, the
+    in-kernel twin of ops/gather._split_bf16_terms)."""
+    mask = jnp.uint32(0xFFFF0000)
+    b1 = pltpu.bitcast(x, jnp.uint32) & mask
+    v1 = pltpu.bitcast(b1, jnp.float32)
+    r1 = x - v1
+    b2 = pltpu.bitcast(r1, jnp.uint32) & mask
+    v2 = pltpu.bitcast(b2, jnp.float32)
+    v3 = r1 - v2
+    return (
+        v1.astype(jnp.bfloat16),
+        v2.astype(jnp.bfloat16),
+        v3.astype(jnp.bfloat16),
+    )
+
+
 def _umbrella_kernel(
     k, skip, rotate, return_dist, style,
-    valid_sref, xyz_ref, q_ref, out_ref, d2_ref,
+    valid_sref, xyz_ref, xyzp_ref, q_ref, out_ref, d2_ref,
 ):
     rows, n = d2_ref.shape
     g_count = k - skip
@@ -84,6 +101,9 @@ def _umbrella_kernel(
     p0x = px[0:1, 0:1]  # point 0: the kNN padding target
     p0y = py[0:1, 0:1]
     p0z = pz[0:1, 0:1]
+    # [N, 3] points for the MXU coordinate capture, split into exact bf16
+    # terms once per program
+    P1, P2, P3 = _split3_kernel(xyzp_ref[0])
 
     def col():
         return jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
@@ -104,9 +124,18 @@ def _umbrella_kernel(
             jnp.where(d2 == dmin[:, None], col(), n), axis=1
         ).astype(jnp.int32)
         sel = col() == i[:, None]
-        cxv = jnp.sum(jnp.where(sel, px, 0.0), axis=1, keepdims=True)
-        cyv = jnp.sum(jnp.where(sel, py, 0.0), axis=1, keepdims=True)
-        czv = jnp.sum(jnp.where(sel, pz, 0.0), axis=1, keepdims=True)
+        # coordinate capture on the MXU: the one-hot row has exactly one
+        # non-zero, so the 3-term bf16 contraction reproduces the f32
+        # coordinates exactly at ~2x the speed of three masked VPU reduces
+        selb = sel.astype(jnp.bfloat16)
+        cap = (
+            jnp.dot(selb, P1, preferred_element_type=jnp.float32)
+            + jnp.dot(selb, P2, preferred_element_type=jnp.float32)
+            + jnp.dot(selb, P3, preferred_element_type=jnp.float32)
+        )  # [rows, 3]
+        cxv = cap[:, 0:1]
+        cyv = cap[:, 1:2]
+        czv = cap[:, 2:3]
         pad = (dmin >= BIG_DIST2)[:, None]
         cxv = jnp.where(pad, p0x, cxv)
         cyv = jnp.where(pad, p0y, cyv)
@@ -303,9 +332,11 @@ def umbrella_features_pallas(
         block_q = max(8, min(512, (80 * 2**20 // (n_pad * 4 * 4)) // 8 * 8))
     m_pad = _round_up(N, block_q)
 
-    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # [B, 3, N]
+    xyz_f = xyz.astype(jnp.float32)
+    xyz_t = jnp.transpose(xyz_f, (0, 2, 1))  # [B, 3, N]
     xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, n_pad - N)))
-    q = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, m_pad - N), (0, 0)))
+    xyz_p = jnp.pad(xyz_f, ((0, 0), (0, n_pad - N), (0, 0)))  # [B, N, 3]
+    q = jnp.pad(xyz_f, ((0, 0), (0, m_pad - N), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -313,6 +344,10 @@ def umbrella_features_pallas(
         in_specs=[
             pl.BlockSpec(
                 (1, 3, n_pad), lambda b, m, v: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_pad, 3), lambda b, m, v: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -335,5 +370,5 @@ def umbrella_features_pallas(
         out_shape=jax.ShapeDtypeStruct((B, m_pad, _LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20),
         interpret=interpret,
-    )(valid.astype(jnp.int32), xyz_t, q)
+    )(valid.astype(jnp.int32), xyz_t, xyz_p, q)
     return out[:, :N, : G * C].reshape(B, N, G, C)

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Real-hardware kernel exactness smoke: run on an actual TPU.
+
+CI exercises every Pallas kernel in interpreter mode against the XLA
+twins/oracles; this script closes the loop on real hardware (compiled
+Mosaic code paths, MXU precision behavior, DMA alignment).  Each check
+prints PASS/FAIL and the script exits non-zero on any failure — suitable
+for a driver to run after bench.py.
+
+Checks:
+  1. Pallas FPS == XLA FPS (exact indices).
+  2. Pallas kNN == XLA kNN indices, allowing only the documented near-tie
+     swaps between the direct-difference and matmul distance forms
+     (PARITY.md deviation 7; budget 1e-3 fraction).
+  3. Window kNN == scan kNN (same distance form: exact).
+  4. Fused umbrella kernel vs XLA composition (<= 2e-6, FMA-only drift).
+  5. One-hot MXU gather bit-exact vs take_along_axis.
+  6. ball_group == ball_query + gathers (bit-exact).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from repsurf_tpu.data.synthetic_scene import synthetic_room
+    from repsurf_tpu.geometry.umbrella import umbrella_features
+    from repsurf_tpu.ops.gather import _gather_onehot, index_points
+    from repsurf_tpu.ops.neighbors import ball_group, ball_query, knn_xla
+    from repsurf_tpu.ops.pallas.fps import fps_pallas
+    from repsurf_tpu.ops.pallas.knn import knn_pallas
+    from repsurf_tpu.ops.pallas.knn_window import knn_window
+    from repsurf_tpu.ops.sampling import farthest_point_sample_xla
+
+    assert jax.default_backend() == "tpu", (
+        f"run on TPU hardware, got {jax.default_backend()}"
+    )
+    rng = np.random.RandomState(0)
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+        if not ok:
+            failures.append(name)
+
+    xyz = jnp.asarray((rng.rand(8, 512, 3) * 2 - 1).astype(np.float32))
+    a = np.asarray(jax.jit(lambda x: fps_pallas(x, 128))(xyz))
+    b = np.asarray(jax.jit(lambda x: farthest_point_sample_xla(x, 128))(xyz))
+    check("fps_pallas == fps_xla", (a == b).all())
+
+    ip = np.asarray(jax.jit(lambda x: knn_pallas(9, x, x)[0])(xyz))
+    ix = np.asarray(jax.jit(lambda x: knn_xla(9, x, x)[0])(xyz))
+    frac = (ip != ix).mean()
+    check("knn_pallas ~= knn_xla", frac < 1e-3, f"tie-swap frac {frac:.2e}")
+
+    scene = jnp.asarray(
+        np.stack([synthetic_room(40000, rng=rng) for _ in range(2)])
+    )
+    iw = np.asarray(jax.jit(lambda x: knn_window(9, x, x)[0])(scene))
+    isc = np.asarray(jax.jit(lambda x: knn_pallas(9, x, x)[0])(scene))
+    mm = (iw != isc).sum()
+    check("knn_window == knn_pallas", mm == 0, f"mismatches {mm}")
+
+    up = np.asarray(
+        jax.jit(lambda x: umbrella_features(x, 9, style="cls", impl="pallas"))(xyz)
+    )
+    ux = np.asarray(
+        jax.jit(lambda x: umbrella_features(x, 9, style="cls", impl="xla"))(xyz)
+    )
+    d = np.abs(up - ux).max()
+    check("umbrella pallas vs xla", d <= 2e-6, f"max diff {d:.2e}")
+
+    pts = jnp.asarray((rng.randn(4, 256, 10) * 5).astype(np.float32))
+    gidx = jnp.asarray(rng.randint(0, 256, (4, 1000)).astype(np.int32))
+    got = np.asarray(jax.jit(_gather_onehot)(pts, gidx))
+    want = np.asarray(jnp.take_along_axis(pts, gidx[..., None], axis=1))
+    check("one-hot gather bit-exact", (got == want).all())
+
+    q = xyz[:, :128]
+    gc, = jax.jit(lambda c, qq: ball_group(0.3, 16, c, qq, (c,)))(xyz, q)
+    bidx = jax.jit(lambda c, qq: ball_query(0.3, 16, c, qq))(xyz, q)
+    ref = jax.jit(index_points)(xyz, bidx)
+    check(
+        "ball_group == two-pass",
+        (np.asarray(gc) == np.asarray(ref)).all(),
+    )
+
+    print(f"\n{6 - len(failures)}/6 checks passed")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
