@@ -145,6 +145,10 @@ def predict_scene(
             for j in range(len(chunk_idx))
         ]
         while len(samples) < batch_size:  # pad the last batch
+            # replicated samples cost nothing extra under static shapes (a
+            # smaller tail batch would trigger a fresh XLA compile worth far
+            # more than the duplicated forward) and their probabilities are
+            # never accumulated — the loop below walks chunk_idx only
             samples.append(samples[-1])
         batch = pad_batch(samples, n_max)
         logits = np.asarray(forward_fn(batch))
