@@ -10,6 +10,7 @@ from .gather import index_points, index_points_multi, resort_points, select_grou
 from .interpolate import interpolate_weights, three_interpolate
 from .masking import BIG_DIST2, counts_to_mask, full_counts
 from .neighbors import ball_group, ball_query, knn, knn_xla
+from .pallas.knn_window import knn_window
 from .sampling import farthest_point_sample, farthest_point_sample_xla
 from .sector import sectorized_fps
 
@@ -26,6 +27,7 @@ __all__ = [
     "index_points_multi",
     "interpolate_weights",
     "knn",
+    "knn_window",
     "knn_xla",
     "resort_points",
     "select_group",
