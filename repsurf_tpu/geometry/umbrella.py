@@ -20,6 +20,17 @@ from ..ops.neighbors import knn
 from .polar import xyz2sphere
 
 
+# Truncated reference literals (0.7071, not sqrt(0.5)) as plain Python
+# floats: the Pallas umbrella kernel derives its rotation coefficients from
+# THIS tuple (jnp scalars would be captured as pallas consts), so the XLA
+# and kernel paths cannot drift apart.
+FIXED_ROTATION_ROWS = (
+    (0.5, -0.5, 0.7071),
+    (0.7071, 0.7071, 0.0),
+    (-0.5, 0.5, 0.7071),
+)
+
+
 def fixed_rotation_matrix():
     """45 deg about y then 45 deg about z, composed for row-vector points —
     the frame used by group_by_umbrella_v2 (segmentation
@@ -27,10 +38,7 @@ def fixed_rotation_matrix():
 
     The entries reproduce the reference's *truncated* literals (0.7071, not
     sqrt(0.5)) so azimuth sort orders agree bit-for-bit with the reference."""
-    return jnp.asarray(
-        [[0.5, -0.5, 0.7071], [0.7071, 0.7071, 0.0], [-0.5, 0.5, 0.7071]],
-        dtype=jnp.float32,
-    )
+    return jnp.asarray(FIXED_ROTATION_ROWS, dtype=jnp.float32)
 
 
 def group_by_umbrella(xyz, new_xyz, k=9, valid=None, sort_rotation=None, drop_self=False):

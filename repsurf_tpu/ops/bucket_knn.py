@@ -318,17 +318,19 @@ def bucket_knn(
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
 
-    # unrolled over the (small) batch instead of vmap: vmap would batch the
-    # lax.cond into a select that ALWAYS executes the brute-force branch
+    # lax.map over the batch instead of vmap or a Python unroll: vmap would
+    # batch the guarded lax.switch into a select that ALWAYS executes the
+    # brute-force branch, while unrolling duplicates this (large) per-sample
+    # graph B times — lax.map traces it once and keeps the switch a real
+    # branch per sample.
     valid = valid.astype(jnp.int32)
     fb = min(fallback_max, new_xyz.shape[1])
-    outs = [
-        _sample_bucket_knn(
-            k, xyz[b], new_xyz[b], valid[b],
+
+    def one_sample(args):
+        x_b, q_b, v_b = args
+        return _sample_bucket_knn(
+            k, x_b, q_b, v_b,
             grid=grid, cand_max=cand_max, fallback_max=fb,
         )
-        for b in range(B)
-    ]
-    idx = jnp.stack([o[0] for o in outs])
-    dist = jnp.stack([o[1] for o in outs])
-    return idx, dist
+
+    return jax.lax.map(one_sample, (xyz, new_xyz, valid))

@@ -151,7 +151,10 @@ def index_points_multi(idx, *tensors):
             out.append(None)
         else:
             c = t.shape[-1]
-            out.append(g[..., off : off + c])
+            # concatenation promotes mixed dtypes (bf16 alongside f32); a
+            # row-gather of a promoted value is exact, so casting back to
+            # the input dtype restores per-tensor index_points equality
+            out.append(g[..., off : off + c].astype(t.dtype))
             off += c
     return tuple(out)
 

@@ -58,26 +58,41 @@ def _window_kernel(
     k, w_lanes,
     tab_sref, p4_ref, q_ref, idx_ref, dist_ref, cand_ref, sems,
 ):
-    """tab_sref: flat SMEM table, per (block, run): [src, dst, len]."""
+    """tab_sref: SMEM run table rows for 8 blocks, per run: [src, dst, len].
+
+    A per-block-group (1, 8, 27) SMEM operand, NOT a whole-array scalar
+    prefetch: the flat table is B * nblk * 27 int32 and outgrows the
+    ~1 MB SMEM budget at scene scale beyond B~2 (B=8 x N=80k needs
+    ~2 MB), while 8-block slices stay <1 KB at any size.  (8 rows, not 1,
+    because Mosaic requires the block's second-to-last dim to divide by 8.)
+    """
     b = pl.program_id(0)
-    blk = pl.program_id(1)
-    nblk = pl.num_programs(1)
-    base = (b * nblk + blk) * _NRUNS * 3
+    row = jax.lax.rem(pl.program_id(1), 8)
 
     def run_info(j):
-        src = tab_sref[base + j * 3 + 0]
-        dst = tab_sref[base + j * 3 + 1]
-        ln = tab_sref[base + j * 3 + 2]
+        src = tab_sref[0, row, j * 3 + 0]
+        dst = tab_sref[0, row, j * 3 + 1]
+        ln = tab_sref[0, row, j * 3 + 2]
         aligned = pl.multiple_of((src // 128) * 128, 128)
         return aligned, src - aligned, pl.multiple_of(dst, 128), ln
 
-    for j in range(_NRUNS):
+    def run_copy(j):
         a, _, d, _ = run_info(j)
-        pltpu.make_async_copy(
+        return pltpu.make_async_copy(
             p4_ref.at[b, :, pl.ds(a, _RUN_PAD)],
             cand_ref.at[:, pl.ds(d, _RUN_PAD)],
             sems.at[j],
-        ).start()
+        )
+
+    # Every copy moves a fixed _RUN_PAD lanes but packed destinations
+    # advance only by round_up(delta+len, 128), so an earlier run's
+    # don't-care tail overlaps later runs' valid lanes.  Async completion
+    # order is unordered in general; chaining wait(j-1) before start(j)
+    # totally orders the writes so the valid data always lands last.
+    run_copy(0).start()
+    for j in range(1, _NRUNS):
+        run_copy(j - 1).wait()
+        run_copy(j).start()
 
     qx = q_ref[0, :, 0:1]
     qy = q_ref[0, :, 1:2]
@@ -90,13 +105,7 @@ def _window_kernel(
         local = lane_w - d
         valid_w = valid_w | ((local >= delta) & (local < delta + ln))
 
-    for j in range(_NRUNS):
-        a, _, d, _ = run_info(j)
-        pltpu.make_async_copy(
-            p4_ref.at[b, :, pl.ds(a, _RUN_PAD)],
-            cand_ref.at[:, pl.ds(d, _RUN_PAD)],
-            sems.at[j],
-        ).wait()
+    run_copy(_NRUNS - 1).wait()
 
     px = cand_ref[0:1, :w_lanes]
     py = cand_ref[1:2, :w_lanes]
@@ -303,28 +312,36 @@ def knn_window(
             p4, qs_pad, qord, pos, tab, overflow, bound, outside, point_ok,
         )
 
-    preps = [prep(xyz[b], new_xyz[b], valid[b]) for b in range(B)]
-    p4 = jnp.stack([p[0] for p in preps])
-    qs = jnp.stack([p[1] for p in preps]).reshape(B, nblk * qblk, 3)
-    tab_flat = jnp.stack([p[4] for p in preps]).reshape(-1).astype(jnp.int32)
+    # one traced prep, batched: trace time and HLO size stay flat in B
+    (
+        p4, qs_pad, qord, pos, tab, overflow, bound, outside, point_ok,
+    ) = jax.vmap(prep)(xyz, new_xyz, valid)
+    qs = qs_pad.reshape(B, nblk * qblk, 3)
+    tab_blk = tab.reshape(B, nblk, _NRUNS * 3).astype(jnp.int32)
+    nblk8 = _round_up(nblk, 8)
+    tab_blk = jnp.pad(tab_blk, ((0, 0), (0, nblk8 - nblk), (0, 0)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    idx_s, dist_s = pl.pallas_call(
+        functools.partial(_window_kernel, k, w_lanes),
         grid=(B, nblk),
         in_specs=[
+            pl.BlockSpec(
+                (1, 8, _NRUNS * 3), lambda b, m: (b, m // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, qblk, 3), lambda b, m, t: (b, m, 0),
+                (1, qblk, 3), lambda b, m: (b, m, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, qblk, k_pad), lambda b, m, t: (b, m, 0),
+                (1, qblk, k_pad), lambda b, m: (b, m, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, qblk, k_pad), lambda b, m, t: (b, m, 0),
+                (1, qblk, k_pad), lambda b, m: (b, m, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -332,37 +349,44 @@ def knn_window(
             pltpu.VMEM((4, w_lanes + _RUN_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((_NRUNS,)),
         ],
-    )
-
-    idx_s, dist_s = pl.pallas_call(
-        functools.partial(_window_kernel, k, w_lanes),
-        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, nblk * qblk, k_pad), jnp.int32),
             jax.ShapeDtypeStruct((B, nblk * qblk, k_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(tab_flat, p4, qs)
+    )(tab_blk, p4, qs)
     idx_s = idx_s[:, :, :k]
     dist_s = dist_s[:, :, :k]
 
-    outs_i, outs_d = [], []
-    for b in range(B):
-        (_, _, qord, pos, _, overflow, bound, outside, point_ok) = preps[b]
+    fb = min(fallback_max, M)
+    tiers = sorted({min(256, fb), min(2048, fb), fb})
+
+    def post(args):
+        """Unpad one sample's kernel results + tiered exact fallback.
+
+        Runs under lax.map (not vmap): the guarded lax.switch stays a real
+        branch — the brute-force subgraph is traced ONCE and executed only
+        for samples whose guard fired, instead of being duplicated per
+        sample (Python unroll) or select-executed always (vmap).
+        """
+        (
+            idx_b, dist_b, qord_b, pos_b, overflow_b, bound_b, outside_b,
+            ok_b, xyz_b, q_b,
+        ) = args
         # padded-slot results back to original query order: sorted query i
         # sits at padded slot pos[i] and original row qord[i]
-        oi = jnp.zeros((M, k), jnp.int32).at[qord].set(
-            idx_s[b][pos], mode="drop"
+        oi = jnp.zeros((M, k), jnp.int32).at[qord_b].set(
+            idx_b[pos_b], mode="drop"
         )
-        od = jnp.zeros((M, k), jnp.float32).at[qord].set(
-            dist_s[b][pos], mode="drop"
+        od = jnp.zeros((M, k), jnp.float32).at[qord_b].set(
+            dist_b[pos_b], mode="drop"
         )
-        q_overflow = jnp.zeros((M,), bool).at[qord].set(
-            overflow[jnp.clip(pos // qblk, 0, nblk - 1)], mode="drop"
+        q_overflow = jnp.zeros((M,), bool).at[qord_b].set(
+            overflow_b[jnp.clip(pos_b // qblk, 0, nblk - 1)], mode="drop"
         )
         kth = od[:, -1]
-        bad = (kth > bound * 0.999) | q_overflow | outside
+        bad = (kth > bound_b * 0.999) | q_overflow | outside_b
 
         def brute(queries):
             CH = 512
@@ -374,9 +398,9 @@ def knn_window(
 
             def one(qc_):
                 d2_ = jnp.sum(
-                    jnp.square(qc_[:, None, :] - xyz[b][None, :, :]), axis=-1
+                    jnp.square(qc_[:, None, :] - xyz_b[None, :, :]), axis=-1
                 )
-                d2_ = jnp.where(point_ok[None, :], d2_, BIG_DIST2)
+                d2_ = jnp.where(ok_b[None, :], d2_, BIG_DIST2)
                 return _extract_rounds(
                     d2_,
                     jnp.broadcast_to(
@@ -389,14 +413,12 @@ def knn_window(
             return fi.reshape(mp, k)[:m], fd.reshape(mp, k)[:m]
 
         n_bad = jnp.sum(bad.astype(jnp.int32))
-        fb = min(fallback_max, M)
-        tiers = sorted({min(256, fb), min(2048, fb), fb})
 
         def make_resolver(size):
-            def resolve(args):
-                oi, od = args
+            def resolve(acc):
+                oi, od = acc
                 p_ = jnp.nonzero(bad, size=size, fill_value=M)[0]
-                fi, fd = brute(new_xyz[b][jnp.clip(p_, 0, M - 1)])
+                fi, fd = brute(q_b[jnp.clip(p_, 0, M - 1)])
                 return (
                     oi.at[p_].set(fi, mode="drop"),
                     od.at[p_].set(fd, mode="drop"),
@@ -404,13 +426,18 @@ def knn_window(
 
             return resolve
 
-        branches = [lambda a: a]
+        branches = [lambda acc: acc]
         branches += [make_resolver(s) for s in tiers]
-        branches.append(lambda a: brute(new_xyz[b]))
+        branches.append(lambda acc: brute(q_b))
         sel = jnp.searchsorted(
             jnp.asarray([1] + [t + 1 for t in tiers]), n_bad, side="right"
         )
-        oi, od = jax.lax.switch(sel, branches, (oi, od))
-        outs_i.append(oi)
-        outs_d.append(od)
-    return jnp.stack(outs_i), jnp.stack(outs_d)
+        return jax.lax.switch(sel, branches, (oi, od))
+
+    return jax.lax.map(
+        post,
+        (
+            idx_s, dist_s, qord, pos, overflow, bound, outside,
+            point_ok, xyz, new_xyz,
+        ),
+    )

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...geometry.umbrella import FIXED_ROTATION_ROWS
 from ..masking import BIG_DIST2
 from .math import acos, atan2
 
@@ -157,9 +158,11 @@ def _umbrella_kernel(
 
     # -- azimuth (xyz2sphere phi on the optionally rotated frame) ------------
     if rotate:
-        # row-vector times fixed_rotation_matrix (geometry/umbrella.py:29-32)
-        xr = 0.5 * gx + 0.7071 * gy - 0.5 * gz
-        yr = -0.5 * gx + 0.7071 * gy + 0.5 * gz
+        # row-vector times fixed_rotation_matrix, coefficients taken from
+        # the SAME tuple the XLA path builds its matrix from
+        R = FIXED_ROTATION_ROWS
+        xr = R[0][0] * gx + R[1][0] * gy + R[2][0] * gz
+        yr = R[0][1] * gx + R[1][1] * gy + R[2][1] * gz
     else:
         xr, yr = gx, gy
     xy0 = (xr == 0.0) & (yr == 0.0)
