@@ -258,12 +258,17 @@ def ball_group(radius, nsample, xyz, new_xyz, tensors, valid=None):
         terms = _split_bf16_terms(cat)
     else:
         terms = [cat]
-    out = None
-    for t in terms:
-        part = jnp.einsum(
-            "bmsn,bnc->bmsc", onehot, t, preferred_element_type=jnp.float32
-        )
-        out = part if out is None else out + part
+    # one channel-concatenated matmul instead of one per split term: the
+    # MXU pads output lanes to 128, so 3C columns cost the same tiles as C
+    # (bit-identical — same contractions, separate accumulators)
+    tcat = terms[0] if len(terms) == 1 else jnp.concatenate(terms, axis=-1)
+    g = jnp.einsum(
+        "bmsn,bnc->bmsc", onehot, tcat, preferred_element_type=jnp.float32
+    )
+    c_all = cat.shape[-1]
+    out = g[..., :c_all]
+    for t in range(1, len(terms)):
+        out = out + g[..., t * c_all : (t + 1) * c_all]
     # empty balls gather point 0 (CUDA kernel's idx=0 degenerate case)
     out = jnp.where(
         (count == 0.0)[..., None], cat[:, None, 0:1, :].astype(out.dtype), out

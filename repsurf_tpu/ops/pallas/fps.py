@@ -47,7 +47,7 @@ def _fps_kernel(npoint, xyz_ref, valid_ref, idx_ref, tmp_ref):
     # invalid lanes start below every real distance and stay there
     tmp_ref[:] = jnp.where(col() < valid_ref[:], 1e10, -1.0)
 
-    def body(i, far):
+    def one_round(i, far):
         idx_ref[pl.ds(i, 1), :] = far.reshape(1, rows)
         sel = col() == far  # one-hot row of the current centroid
         cx = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
@@ -56,9 +56,18 @@ def _fps_kernel(npoint, xyz_ref, valid_ref, idx_ref, tmp_ref):
         d2 = jnp.square(x - cx) + jnp.square(y - cy) + jnp.square(z - cz)
         tmp = jnp.minimum(tmp_ref[:], d2)
         tmp_ref[:] = tmp
-        return jnp.argmax(tmp, axis=1).astype(jnp.int32)[:, None]
+        # manual max + masked-iota-min beats Mosaic's argmax lowering ~25%
+        # (see ops/pallas/knn.py) and makes the first-index tie-break
+        # explicit instead of relying on the lowering's choice
+        m = jnp.max(tmp, axis=1)
+        far = jnp.min(
+            jnp.where(tmp == m[:, None], col(), n), axis=1
+        ).astype(jnp.int32)
+        return far[:, None]
 
-    jax.lax.fori_loop(0, npoint, body, jnp.zeros((rows, 1), jnp.int32))
+    jax.lax.fori_loop(
+        0, npoint, one_round, jnp.zeros((rows, 1), jnp.int32)
+    )
 
 
 def _round_up(v, m):

@@ -103,8 +103,11 @@ def knn_pallas(k, xyz, new_xyz, valid=None, block_q=None, interpret=False):
 
     n_pad = max(_round_up(N, 128), 256)
     if block_q is None:
-        # ~4 live [block_q, n] f32 arrays within ~80 MB of the 128 MB VMEM
-        block_q = max(8, min(1024, (80 * 2**20 // (n_pad * 4 * 4)) // 8 * 8))
+        # ~4 live [block_q, n] f32 arrays within ~80 MB of the 128 MB VMEM;
+        # capped at 256: measured 2.9 ms vs 3.6 (512) / 4.6 (1024) for k=9
+        # self-query at batch 64 x 1024 — smaller blocks pipeline better,
+        # but 128 collapses (16 ms: per-block overhead dominates)
+        block_q = max(8, min(256, (80 * 2**20 // (n_pad * 4 * 4)) // 8 * 8))
     m_pad = _round_up(M, block_q)
     k_pad = _round_up(k, 128)  # lane-width output tiles
 

@@ -48,6 +48,8 @@ from .math import acos, atan2
 
 _LANES = 128
 _PI = float(jnp.pi)
+_GIDX_BIG = 3e7  # > any real index (python float: jnp scalars would be
+# captured as pallas consts)
 
 
 def _feature_order(style, return_dist):
@@ -103,8 +105,10 @@ def _umbrella_kernel(
     p0y = py[0:1, 0:1]
     p0z = pz[0:1, 0:1]
     # [N, 3] points for the MXU coordinate capture, split into exact bf16
-    # terms once per program
+    # terms once per program and channel-concatenated to [N, 9]: one dot
+    # instead of three (the 3..9 output lanes pad to 128 either way)
     P1, P2, P3 = _split3_kernel(xyzp_ref[0])
+    Pcat = jnp.concatenate([P1, P2, P3], axis=1)
 
     def col():
         return jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
@@ -129,14 +133,10 @@ def _umbrella_kernel(
         # non-zero, so the 3-term bf16 contraction reproduces the f32
         # coordinates exactly at ~2x the speed of three masked VPU reduces
         selb = sel.astype(jnp.bfloat16)
-        cap = (
-            jnp.dot(selb, P1, preferred_element_type=jnp.float32)
-            + jnp.dot(selb, P2, preferred_element_type=jnp.float32)
-            + jnp.dot(selb, P3, preferred_element_type=jnp.float32)
-        )  # [rows, 3]
-        cxv = cap[:, 0:1]
-        cyv = cap[:, 1:2]
-        czv = cap[:, 2:3]
+        cap = jnp.dot(selb, Pcat, preferred_element_type=jnp.float32)
+        cxv = cap[:, 0:1] + cap[:, 3:4] + cap[:, 6:7]
+        cyv = cap[:, 1:2] + cap[:, 4:5] + cap[:, 7:8]
+        czv = cap[:, 2:3] + cap[:, 5:6] + cap[:, 8:9]
         pad = (dmin >= BIG_DIST2)[:, None]
         cxv = jnp.where(pad, p0x, cxv)
         cyv = jnp.where(pad, p0y, cyv)
@@ -149,12 +149,32 @@ def _umbrella_kernel(
         return gx, gy, gz
 
     zeros = jnp.zeros((rows, _LANES), jnp.float32)
+    # fori_loop, NOT unrolled: unrolling k rounds spills the register
+    # allocator (measured 8.0 ms vs 6.8 at batch 64 x 1024, same lesson as
+    # ops/pallas/knn.py)
     gx, gy, gz = jax.lax.fori_loop(0, k, body, (zeros, zeros, zeros))
 
     # center-relative coordinates (lanes >= g_count hold garbage, masked off)
     gx = gx - qx
     gy = gy - qy
     gz = gz - qz
+
+    out_ref[0] = _fan_geometry_pack(
+        rotate, return_dist, style, g_count, lane, gx, gy, gz
+    )
+
+
+def _fan_geometry_pack(rotate, return_dist, style, g_count, lane, gx, gy, gz):
+    """Shared fan-geometry + channel-packing tail of both umbrella kernels.
+
+    Takes center-relative fan coordinates in lanes 0..g_count-1 of
+    [rows, 128] arrays and returns the packed [rows, 128] feature lanes
+    (lane g*C + c), bit-identical to the XLA chain (see module docstring).
+    """
+    rows = gx.shape[0]
+    names = _feature_order(style, return_dist)
+    c_count = len(names)
+    zeros = jnp.zeros((rows, _LANES), jnp.float32)
 
     # -- azimuth (xyz2sphere phi on the optionally rotated frame) ------------
     if rotate:
@@ -276,18 +296,274 @@ def _umbrella_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    out_ref[0] = packed
+    return packed
 
 
 def _round_up(v, m):
     return -(-v // m) * m
 
 
+_SLAB = 128  # points per x-slab == queries per block in the slab kernel
+
+
+def _umbrella_slab_kernel(
+    k, skip, rotate, return_dist, style, n_slabs,
+    w0_ref, w1_ref, w2_ref, q_ref, out_ref,
+):
+    """Equal-count x-slab windowed umbrella kernel.
+
+    Points and queries (the same cloud) are x-sorted on the XLA side and cut
+    into n_slabs slabs of exactly _SLAB points; block s processes the
+    queries of slab s against the 3-slab window clip(s-1, 0, n_slabs-3)..+2
+    — 3 * _SLAB candidate lanes instead of N.  Exactness is guarded per
+    query: the k-th neighbor distance must not reach past the window's
+    x-extent (emitted in spare output lanes; the caller re-solves failures
+    through the XLA chain).  Window operands arrive as three overlapping
+    (1, 4, _SLAB) blocks of the x-sorted [B, 4, N] point array (rows x, y,
+    z, original index or -1 for invalid), auto-pipelined by Pallas — no
+    manual DMA.
+    """
+    rows = q_ref.shape[1]
+    g_count = k - skip
+    names = _feature_order(style, return_dist)
+    c_count = len(names)
+    gc = g_count * c_count
+    s = pl.program_id(1)
+    c0 = jnp.clip(s - 1, 0, n_slabs - 3)
+
+    px = jnp.concatenate(
+        [w0_ref[0, 0:1, :], w1_ref[0, 0:1, :], w2_ref[0, 0:1, :]], axis=1
+    )  # [1, 3*_SLAB]
+    py = jnp.concatenate(
+        [w0_ref[0, 1:2, :], w1_ref[0, 1:2, :], w2_ref[0, 1:2, :]], axis=1
+    )
+    pz = jnp.concatenate(
+        [w0_ref[0, 2:3, :], w1_ref[0, 2:3, :], w2_ref[0, 2:3, :]], axis=1
+    )
+    pg = jnp.concatenate(
+        [w0_ref[0, 3:4, :], w1_ref[0, 3:4, :], w2_ref[0, 3:4, :]], axis=1
+    )
+    w = px.shape[1]
+
+    qx = q_ref[0, :, 0:1]  # [rows, 1]
+    qy = q_ref[0, :, 1:2]
+    qz = q_ref[0, :, 2:3]
+
+    valid_w = pg >= 0.0
+    d2 = jnp.square(qx - px) + jnp.square(qy - py) + jnp.square(qz - pz)
+    d2 = jnp.where(valid_w, d2, BIG_DIST2)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    zeros = jnp.zeros((rows, _LANES), jnp.float32)
+
+    # kNN padding target: the sample's point 0 = the valid point with the
+    # smallest original index anywhere in the cloud.  Padded slots only
+    # occur when valid < k, where the guard flags every query anyway and
+    # the XLA fallback recomputes them — so any placeholder works; use the
+    # window's first lane.
+    p0x = px[0:1, 0:1]
+    p0y = py[0:1, 0:1]
+    p0z = pz[0:1, 0:1]
+
+    def body(r, carry):
+        gx, gy, gz, d2, kth = carry
+        dmin = jnp.min(d2, axis=1)
+        # tie-break on smallest ORIGINAL index: window lane order is
+        # x-sorted, not index order
+        gi = jnp.min(jnp.where(d2 == dmin[:, None], pg, _GIDX_BIG), axis=1)
+        sel = (d2 == dmin[:, None]) & (pg == gi[:, None])
+        pad = (dmin >= BIG_DIST2)[:, None]
+        cxv = jnp.sum(jnp.where(sel, px, 0.0), axis=1, keepdims=True)
+        cyv = jnp.sum(jnp.where(sel, py, 0.0), axis=1, keepdims=True)
+        czv = jnp.sum(jnp.where(sel, pz, 0.0), axis=1, keepdims=True)
+        cxv = jnp.where(pad, p0x, cxv)
+        cyv = jnp.where(pad, p0y, cyv)
+        czv = jnp.where(pad, p0z, czv)
+        slot = lane == (r - skip)
+        gx = jnp.where(slot, cxv, gx)
+        gy = jnp.where(slot, cyv, gy)
+        gz = jnp.where(slot, czv, gz)
+        kth = jnp.minimum(dmin, BIG_DIST2)  # final round's min = kth d2
+        return gx, gy, gz, jnp.where(sel, jnp.inf, d2), kth
+
+    gx, gy, gz, _, kth_d2 = jax.lax.fori_loop(
+        0, k, body, (zeros, zeros, zeros, d2, jnp.zeros((rows,), jnp.float32))
+    )
+
+    gx = gx - qx
+    gy = gy - qy
+    gz = gz - qz
+
+    packed = _fan_geometry_pack(
+        rotate, return_dist, style, g_count, lane, gx, gy, gz
+    )
+
+    # -- exactness guard lanes -----------------------------------------------
+    # Margin to the nearest x-excluded point: points left of the window
+    # exist iff c0 > 0; right of it iff c0 < n_slabs-3 AND the window's last
+    # lane is a valid point (invalid points sort last, so an invalid tail
+    # means nothing real lies beyond).
+    wlo = px[0:1, 0:1]
+    whi = px[0:1, w - 1 : w]
+    right_valid = pg[0:1, w - 1 : w] >= 0.0
+    ml = jnp.where(c0 > 0, qx - wlo, BIG_DIST2)
+    mr = jnp.where((c0 < n_slabs - 3) & right_valid, whi - qx, BIG_DIST2)
+    margin = jnp.maximum(jnp.minimum(ml, mr), 0.0)  # [rows, 1]
+    packed = jnp.where(lane == gc, kth_d2[:, None], packed)
+    packed = jnp.where(lane == gc + 1, margin, packed)
+    out_ref[0] = packed
+
+
+def _xla_umbrella_for_queries(
+    xyz, queries, k, drop_self, rotate, return_dist, style, valid, interpret
+):
+    """XLA-chain umbrella features for an arbitrary query subset.
+
+    The slab kernel's exactness fallback: distances/ties via knn_pallas
+    (direct-difference form — the same arithmetic the slab kernel uses, so
+    re-solved queries agree bit-for-bit when the window WAS sufficient) and
+    the geometry via the differentiable XLA composition.  No random
+    inversion — the caller applies the per-sample sign outside, as with the
+    kernel output.
+    """
+    from ...geometry.polar import xyz2sphere
+    from ...geometry.surface import (
+        cal_center,
+        cal_const,
+        cal_normal,
+        repair_invalid_group,
+    )
+    from ...geometry.umbrella import fixed_rotation_matrix, group_by_umbrella_idx
+    from .knn import knn_pallas
+
+    idx, _ = knn_pallas(k, xyz, queries, valid=valid, interpret=interpret)
+    if drop_self:
+        idx = idx[:, :, 1:]
+    rot = fixed_rotation_matrix() if rotate else None
+    fans = group_by_umbrella_idx(xyz, queries, idx, sort_rotation=rot)
+    normal, bad = cal_normal(fans, random_inv_sign=None, is_group=True)
+    t_center = cal_center(fans)
+    polar = xyz2sphere(t_center)
+    if return_dist:
+        pos = cal_const(normal, t_center)
+        normal, t_center, pos = repair_invalid_group(bad, normal, t_center, pos)
+        if style == "seg":
+            return jnp.concatenate([polar, normal, pos, t_center], axis=-1)
+        return jnp.concatenate([t_center, polar, normal, pos], axis=-1)
+    normal, t_center = repair_invalid_group(bad, normal, t_center)
+    return jnp.concatenate([t_center, polar, normal], axis=-1)
+
+
+def _umbrella_slab(
+    xyz, k, drop_self, rotate, return_dist, style, valid, interpret
+):
+    """Slab-windowed umbrella features (see _umbrella_slab_kernel)."""
+    from ..gather import index_points
+
+    B, N, _ = xyz.shape
+    G = k - 1 if drop_self else k
+    C = 10 if return_dist else 9
+    gc = G * C
+    n_slabs = N // _SLAB
+    if valid is None:
+        valid = jnp.full((B,), N, jnp.int32)
+    valid = valid.astype(jnp.int32)
+    xyz_f = jax.lax.stop_gradient(xyz.astype(jnp.float32))
+
+    def prep(x, nv):
+        ok = jnp.arange(N) < nv
+        # x-sort with invalid points last; stable, so equal keys keep
+        # original index order
+        key = jnp.where(ok, x[:, 0], jnp.inf)
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        xs = x[order]
+        pgv = jnp.where(order < nv, order, -1).astype(jnp.float32)
+        p4 = jnp.concatenate([xs.T, pgv[None, :]], axis=0)  # [4, N]
+        return p4, xs, order
+
+    p4, xs, order = jax.vmap(prep)(xyz_f, valid)
+
+    def cmap(b, s):
+        return (b, 0, jnp.clip(s - 1, 0, n_slabs - 3))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _umbrella_slab_kernel, k, 1 if drop_self else 0, rotate,
+            return_dist, style, n_slabs,
+        ),
+        grid=(B, n_slabs),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 4, _SLAB), cmap, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 4, _SLAB),
+                lambda b, s: (b, 0, jnp.clip(s - 1, 0, n_slabs - 3) + 1),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, _SLAB),
+                lambda b, s: (b, 0, jnp.clip(s - 1, 0, n_slabs - 3) + 2),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _SLAB, 3), lambda b, s: (b, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _SLAB, _LANES), lambda b, s: (b, s, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, _LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(p4, p4, p4, xs)
+
+    # reorder features + guard lanes back to original point order in ONE
+    # MXU one-hot gather (output row j lives at sorted slot inv[j])
+    inv = jnp.argsort(order, axis=-1).astype(jnp.int32)
+    outp = index_points(out[:, :, : gc + 2], inv)
+    feat = outp[..., :gc].reshape(B, N, G, C)
+    kth_d2 = outp[..., gc]
+    margin = outp[..., gc + 1]
+    point_ok = jnp.arange(N)[None, :] < valid[:, None]
+    bad = (
+        (kth_d2 >= jnp.square(0.999 * margin)) | (kth_d2 >= BIG_DIST2)
+    ) & point_ok
+
+    n_bad_max = jnp.max(jnp.sum(bad.astype(jnp.int32), axis=1))
+
+    def make_resolver(size):
+        def run(f):
+            p = jax.vmap(
+                lambda b_: jnp.nonzero(b_, size=size, fill_value=N)[0]
+            )(bad).astype(jnp.int32)
+            q_bad = index_points(xyz_f, jnp.clip(p, 0, N - 1))
+            fb = _xla_umbrella_for_queries(
+                xyz_f, q_bad, k, drop_self, rotate, return_dist, style,
+                valid, interpret,
+            )
+            return jax.vmap(
+                lambda f_, p_, v_: f_.at[p_].set(v_, mode="drop")
+            )(f, p, fb)
+
+        return run
+
+    tiers = sorted({min(64, N), min(256, N), N})
+    branches = [lambda f: f] + [make_resolver(s) for s in tiers]
+    sel = jnp.searchsorted(
+        jnp.asarray([1] + [t + 1 for t in tiers[:-1]]), n_bad_max,
+        side="right",
+    )
+    return jax.lax.switch(sel, branches, feat)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k", "drop_self", "rotate", "return_dist", "style", "block_q",
-        "interpret",
+        "interpret", "impl",
     ),
 )
 def umbrella_features_pallas(
@@ -300,12 +576,15 @@ def umbrella_features_pallas(
     valid=None,
     block_q=None,
     interpret=False,
+    impl="auto",
 ):
     """Fused umbrella geometry: points -> per-fan surface features.
 
     Equivalent to group_by_umbrella + cal_normal(sign-fix, no random_inv) +
     cal_center + xyz2sphere + cal_const + repair_invalid_group + the style's
-    channel concat, in one kernel.
+    channel concat, in one kernel.  Dispatches to the slab-windowed kernel
+    (x-sorted equal-count windows, ~2.7x less extraction work, guarded
+    exact) when shapes allow, else the full-scan kernel.
 
     Args:
       xyz: [B, N, 3] cloud (fan centers are the same cloud, as in both
@@ -317,6 +596,7 @@ def umbrella_features_pallas(
       return_dist: include the plane-constant channel.
       style: 'cls' | 'seg' channel concat order.
       valid: optional [B] int32 valid counts.
+      impl: 'auto' | 'slab' | 'full'.
 
     Returns:
       feat: [B, N, G, C] float32, C = 10 (return_dist) or 9.
@@ -326,13 +606,32 @@ def umbrella_features_pallas(
     C = 10 if return_dist else 9
     if G * C > _LANES:
         raise ValueError(f"umbrella fans*channels {G * C} exceed {_LANES} lanes")
+    if impl == "auto":
+        # The slab route is a preserved, measured DEAD END at object scale:
+        # a 1-D x-window of +-128 sorted points is narrower than the k=9
+        # neighborhood radius for both volumetric clouds (gaussian batch:
+        # ~50% guard failures) and FPS-sampled surface objects (16.5%
+        # failures measured on synthetic_object data) — the tiered XLA
+        # fallback then dominates (19.1 ms vs the full kernel's 7.1 ms at
+        # batch 64 x 1024 on v5e).  A 128-lane DMA/BlockSpec granularity
+        # floor blocks finer 2-D/3-D windows at N~1024 (9 cells x 128
+        # lanes >= N already).  It remains exact and selectable for
+        # experiments on flatter data.
+        impl = "full"
+    if impl == "slab":
+        return _umbrella_slab(
+            xyz, k, drop_self, rotate, return_dist, style, valid, interpret
+        )
     if valid is None:
         valid = jnp.full((B,), N, jnp.int32)
 
     n_pad = max(_round_up(N, 128), 256)
     if block_q is None:
-        # d2 scratch + ~4 live [rows, n] temporaries within ~80 MB VMEM
-        block_q = max(8, min(512, (80 * 2**20 // (n_pad * 4 * 4)) // 8 * 8))
+        # d2 scratch + ~4 live [rows, n] temporaries within ~80 MB VMEM;
+        # capped at 256: measured 6.0 ms vs 7.2 (512) / 8.2 (128) at
+        # batch 64 x 1024 — bigger blocks exceed the sweet spot between
+        # per-block overhead amortization and VMEM/register pressure
+        block_q = max(8, min(256, (80 * 2**20 // (n_pad * 4 * 4)) // 8 * 8))
     m_pad = _round_up(N, block_q)
 
     xyz_f = xyz.astype(jnp.float32)

@@ -110,7 +110,9 @@ def main():
         npoint=512, radius=0.2, nsample=32, pos_channel=6,
         mlp=(64, 64, 128), grouping="ball", return_polar=True,
     )
-    s1v = sa1.init({"params": jax.random.PRNGKey(0)}, pts, normal, None, train=False)
+    s1v = jax.jit(
+        lambda: sa1.init({"params": jax.random.PRNGKey(0)}, pts, normal, None, train=False)
+    )()  # jitted: eager init materializes unfused grouping intermediates (OOM)
     pipelined(
         lambda c, n: sa1.apply(s1v, c, n, None, train=False),
         pts, normal, label="sa1 (512, ball .2, k32)",
@@ -123,7 +125,9 @@ def main():
         npoint=128, radius=0.4, nsample=64, pos_channel=6,
         mlp=(128, 128, 256), grouping="ball", return_polar=True,
     )
-    s2v = sa2.init({"params": jax.random.PRNGKey(0)}, c1, n1, f1, train=False)
+    s2v = jax.jit(
+        lambda: sa2.init({"params": jax.random.PRNGKey(0)}, c1, n1, f1, train=False)
+    )()
     pipelined(
         lambda c, n, f: sa2.apply(s2v, c, n, f, train=False),
         c1, n1, f1, label="sa2 (128, ball .4, k64)",
@@ -136,7 +140,9 @@ def main():
         pos_channel=6, mlp=(256, 512, 1024), group_all=True, npoint=1,
         return_polar=True,
     )
-    s3v = sa3.init({"params": jax.random.PRNGKey(0)}, c2, n2, f2, train=False)
+    s3v = jax.jit(
+        lambda: sa3.init({"params": jax.random.PRNGKey(0)}, c2, n2, f2, train=False)
+    )()
     pipelined(
         lambda c, n, f: sa3.apply(s3v, c, n, f, train=False),
         c2, n2, f2, label="sa3 (group_all, mlp->1024)",
