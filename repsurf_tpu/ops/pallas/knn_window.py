@@ -58,83 +58,124 @@ def _window_kernel(
     k, w_lanes,
     tab_sref, p4_ref, q_ref, idx_ref, dist_ref, cand_ref, sems,
 ):
-    """tab_sref: SMEM run table rows for 8 blocks, per run: [src, dst, len].
+    """Window-kNN block with double-buffered candidate prefetch.
 
-    A per-block-group (1, 8, 27) SMEM operand, NOT a whole-array scalar
-    prefetch: the flat table is B * nblk * 27 int32 and outgrows the
-    ~1 MB SMEM budget at scene scale beyond B~2 (B=8 x N=80k needs
-    ~2 MB), while 8-block slices stay <1 KB at any size.  (8 rows, not 1,
-    because Mosaic requires the block's second-to-last dim to divide by 8.)
+    tab_sref: SMEM run-table rows for my 8-block group PLUS the next
+    group's first 8 (so block m can always read block m+1's row), per
+    (block, run): [src, dst, len].  A per-group operand, NOT a whole-array
+    scalar prefetch: the flat table is B * nblk * 27 int32 and outgrows
+    the ~1 MB SMEM budget at scene scale beyond B~2.
+
+    used_sref: this sample's count of blocks that hold real queries.  The
+    reserved query padding (every occupied column may waste < qblk slots,
+    bounded statically) leaves a long tail of reserved-but-unused blocks
+    (~35% at 80k/qblk=64); inactive blocks skip the entire body.
+
+    Pipelining: each candidate window needs 9 run-DMAs whose packed
+    destinations overlap (fixed _RUN_PAD copy length vs round_up packing),
+    so the copies must complete in issue order — enforced by chaining
+    wait(j-1) before start(j).  Serial chains cost ~tens of us per block,
+    so block m issues block m+1's chain into the OTHER half of the
+    double-buffered window, one link per extraction round: the chain's
+    serialization hides behind compute instead of blocking it.  Blocks run
+    sequentially on the core, so buffer m%2 is never written while read.
+    The final copy of a chain (run 8) is waited by the CONSUMING block;
+    links 0..7 are waited by the issuing block's interleave.
     """
     b = pl.program_id(0)
-    row = jax.lax.rem(pl.program_id(1), 8)
+    m = pl.program_id(1)
+    row = jax.lax.rem(m, 8)
+    buf = jax.lax.rem(m, 2)
+    nbuf = jax.lax.rem(m + 1, 2)
+    wp = w_lanes + _RUN_PAD  # per-buffer lane stride (multiple of 128)
+    used = tab_sref[0, 0, 0, _NRUNS * 3]  # same value in every row
+    prefetch_ok = (m + 1) < used
 
-    def run_info(j):
-        src = tab_sref[0, row, j * 3 + 0]
-        dst = tab_sref[0, row, j * 3 + 1]
-        ln = tab_sref[0, row, j * 3 + 2]
+    def run_info(r, j):
+        src = tab_sref[0, 0, r, j * 3 + 0]
+        dst = tab_sref[0, 0, r, j * 3 + 1]
+        ln = tab_sref[0, 0, r, j * 3 + 2]
         aligned = pl.multiple_of((src // 128) * 128, 128)
         return aligned, src - aligned, pl.multiple_of(dst, 128), ln
 
-    def run_copy(j):
-        a, _, d, _ = run_info(j)
+    def copy_for(r, bufi, j):
+        a, _, d, _ = run_info(r, j)
+        base = pl.multiple_of(bufi * wp, 128)
         return pltpu.make_async_copy(
             p4_ref.at[b, :, pl.ds(a, _RUN_PAD)],
-            cand_ref.at[:, pl.ds(d, _RUN_PAD)],
-            sems.at[j],
+            cand_ref.at[:, pl.ds(base + d, _RUN_PAD)],
+            sems.at[bufi, j],
         )
 
-    # Every copy moves a fixed _RUN_PAD lanes but packed destinations
-    # advance only by round_up(delta+len, 128), so an earlier run's
-    # don't-care tail overlaps later runs' valid lanes.  Async completion
-    # order is unordered in general; chaining wait(j-1) before start(j)
-    # totally orders the writes so the valid data always lands last.
-    run_copy(0).start()
-    for j in range(1, _NRUNS):
-        run_copy(j - 1).wait()
-        run_copy(j).start()
+    def prefetch_link(j):
+        """Issue link j of block m+1's chain (waiting link j-1 first)."""
 
-    qx = q_ref[0, :, 0:1]
-    qy = q_ref[0, :, 1:2]
-    qz = q_ref[0, :, 2:3]
+        @pl.when(prefetch_ok)
+        def _():
+            if j > 0:
+                copy_for(row + 1, nbuf, j - 1).wait()
+            copy_for(row + 1, nbuf, j).start()
 
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1)
-    valid_w = jnp.zeros((1, w_lanes), bool)
-    for j in range(_NRUNS):
-        _, delta, d, ln = run_info(j)
-        local = lane_w - d
-        valid_w = valid_w | ((local >= delta) & (local < delta + ln))
+    @pl.when(m < used)
+    def _active_body():
+        @pl.when(m == 0)
+        def _cold_start():
+            # each sample's first block has no predecessor: full own chain
+            copy_for(row, buf, 0).start()
+            for j in range(1, _NRUNS):
+                copy_for(row, buf, j - 1).wait()
+                copy_for(row, buf, j).start()
 
-    run_copy(_NRUNS - 1).wait()
+        qx = q_ref[0, :, 0:1]
+        qy = q_ref[0, :, 1:2]
+        qz = q_ref[0, :, 2:3]
 
-    px = cand_ref[0:1, :w_lanes]
-    py = cand_ref[1:2, :w_lanes]
-    pz = cand_ref[2:3, :w_lanes]
-    pg = cand_ref[3:4, :w_lanes]  # original index as f32 (exact < 2^24)
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1)
+        valid_w = jnp.zeros((1, w_lanes), bool)
+        for j in range(_NRUNS):
+            _, delta, d, ln = run_info(row, j)
+            local = lane_w - d
+            valid_w = valid_w | ((local >= delta) & (local < delta + ln))
 
-    d2 = jnp.square(qx - px) + jnp.square(qy - py) + jnp.square(qz - pz)
-    d2 = jnp.where(valid_w, d2, BIG_DIST2)
+        copy_for(row, buf, _NRUNS - 1).wait()
 
-    rows, _ = d2.shape
-    k_pad = idx_ref.shape[2]
-    lane_k = jax.lax.broadcasted_iota(jnp.int32, (rows, k_pad), 1)
-    acc_i = jnp.zeros((rows, k_pad), jnp.int32)
-    acc_d = jnp.zeros((rows, k_pad), jnp.float32)
-    for r in range(k):
-        m = jnp.min(d2, axis=1)
-        # tie-break on the smallest ORIGINAL index among equal distances —
-        # window lane order is cell order, not index order
-        gi = jnp.min(jnp.where(d2 == m[:, None], pg, _GIDX_BIG), axis=1)
-        sel = (d2 == m[:, None]) & (pg == gi[:, None])
-        d = jnp.minimum(m, BIG_DIST2)
-        pad = d >= BIG_DIST2
-        i_out = jnp.where(pad, 0.0, gi).astype(jnp.int32)
-        slot = lane_k == r
-        acc_i = jnp.where(slot, i_out[:, None], acc_i)
-        acc_d = jnp.where(slot, jnp.sqrt(d)[:, None], acc_d)
-        d2 = jnp.where(sel, jnp.inf, d2)
-    idx_ref[0] = acc_i
-    dist_ref[0] = acc_d
+        base = pl.multiple_of(buf * wp, 128)
+        px = cand_ref[0:1, pl.ds(base, w_lanes)]
+        py = cand_ref[1:2, pl.ds(base, w_lanes)]
+        pz = cand_ref[2:3, pl.ds(base, w_lanes)]
+        pg = cand_ref[3:4, pl.ds(base, w_lanes)]  # orig index f32 (< 2^24)
+
+        d2 = jnp.square(qx - px) + jnp.square(qy - py) + jnp.square(qz - pz)
+        d2 = jnp.where(valid_w, d2, BIG_DIST2)
+
+        rows, _ = d2.shape
+        k_pad = idx_ref.shape[2]
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (rows, k_pad), 1)
+        acc_i = jnp.zeros((rows, k_pad), jnp.int32)
+        acc_d = jnp.zeros((rows, k_pad), jnp.float32)
+        for r in range(k):
+            if r < _NRUNS:
+                prefetch_link(r)
+            mn = jnp.min(d2, axis=1)
+            # tie-break on the smallest ORIGINAL index among equal
+            # distances — window lane order is cell order, not index order
+            gi = jnp.min(
+                jnp.where(d2 == mn[:, None], pg, _GIDX_BIG), axis=1
+            )
+            sel = (d2 == mn[:, None]) & (pg == gi[:, None])
+            d = jnp.minimum(mn, BIG_DIST2)
+            pad = d >= BIG_DIST2
+            i_out = jnp.where(pad, 0.0, gi).astype(jnp.int32)
+            slot = lane_k == r
+            acc_i = jnp.where(slot, i_out[:, None], acc_i)
+            acc_d = jnp.where(slot, jnp.sqrt(d)[:, None], acc_d)
+            d2 = jnp.where(sel, jnp.inf, d2)
+        # chains longer than the round count (k < 9) finish here, still
+        # overlapping the packing/output phase
+        for j in range(min(k, _NRUNS), _NRUNS):
+            prefetch_link(j)
+        idx_ref[0] = acc_i
+        dist_ref[0] = acc_d
 
 
 def _round_up(v, m):
@@ -308,25 +349,43 @@ def knn_window(
                 dst = dst + width
         tab = jnp.stack(entries, axis=1)  # [nblk, 9, 3]
         bound = jnp.min(cs)
+        used = col_pad_start[-1] // qblk  # blocks holding real queries
         return (
             p4, qs_pad, qord, pos, tab, overflow, bound, outside, point_ok,
+            used,
         )
 
     # one traced prep, batched: trace time and HLO size stay flat in B
     (
         p4, qs_pad, qord, pos, tab, overflow, bound, outside, point_ok,
+        used,
     ) = jax.vmap(prep)(xyz, new_xyz, valid)
     qs = qs_pad.reshape(B, nblk * qblk, 3)
     tab_blk = tab.reshape(B, nblk, _NRUNS * 3).astype(jnp.int32)
     nblk8 = _round_up(nblk, 8)
-    tab_blk = jnp.pad(tab_blk, ((0, 0), (0, nblk8 - nblk), (0, 0)))
+    tab_blk = jnp.pad(tab_blk, ((0, 0), (0, nblk8 + 8 - nblk), (0, 0)))
+    # overlapping 16-row groups (rows [8g, 8g+16)): block m's SMEM slice
+    # carries its own group AND the next group's head so the cross-block
+    # prefetch can read block m+1's run table (block-unit index maps can't
+    # express overlap, so the overlap is materialized — the table is tiny)
+    # the per-sample used-block count rides as a 28th table column (a
+    # separate (1, 1) SMEM operand violates the block-shape divisibility
+    # rule)
+    used_col = jnp.broadcast_to(
+        used.astype(jnp.int32)[:, None, None], (B, nblk8 + 8, 1)
+    )
+    tab_blk = jnp.concatenate([tab_blk, used_col], axis=-1)
+    g_idx = (
+        jnp.arange(nblk8 // 8)[:, None] * 8 + jnp.arange(16)[None, :]
+    )
+    tab_pairs = tab_blk[:, g_idx]  # [B, nblk8/8, 16, 28]
 
     idx_s, dist_s = pl.pallas_call(
         functools.partial(_window_kernel, k, w_lanes),
         grid=(B, nblk),
         in_specs=[
             pl.BlockSpec(
-                (1, 8, _NRUNS * 3), lambda b, m: (b, m // 8, 0),
+                (1, 1, 16, _NRUNS * 3 + 1), lambda b, m: (b, m // 8, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -346,8 +405,8 @@ def knn_window(
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, w_lanes + _RUN_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((_NRUNS,)),
+            pltpu.VMEM((4, 2 * (w_lanes + _RUN_PAD)), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _NRUNS)),
         ],
         out_shape=(
             jax.ShapeDtypeStruct((B, nblk * qblk, k_pad), jnp.int32),
@@ -355,7 +414,7 @@ def knn_window(
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(tab_blk, p4, qs)
+    )(tab_pairs, p4, qs)
     idx_s = idx_s[:, :, :k]
     dist_s = dist_s[:, :, :k]
 

@@ -95,6 +95,46 @@ def main():
     pipelined(
         lambda x: umb.apply(uvars, x, train=False), pts, label="umbrella constructor"
     )
+    from repsurf_tpu.ops.pallas.umbrella import umbrella_features_pallas
+
+    pipelined(
+        lambda x: umbrella_features_pallas(x, 9, drop_self=True, style="cls"),
+        pts,
+        label="  umbrella kernel (fused pallas)",
+    )
+    feat_u = jax.jit(
+        lambda x: umbrella_features_pallas(x, 9, drop_self=True, style="cls")
+    )(pts)
+
+    def umb_mlp(feat):
+        """The constructor minus the geometry kernel: MLP+BN chain on
+        [B, N, G, 10] + fan aggregation (isolates the lane-padded tail)."""
+        import flax.linen as fnn
+
+        class Tail(fnn.Module):
+            @fnn.compact
+            def __call__(self, f):
+                from repsurf_tpu.nn.layers import Linear, MaskedBatchNorm
+
+                x = jax.nn.relu(
+                    MaskedBatchNorm()(
+                        Linear(10, use_bias=False)(f), use_running_average=True
+                    )
+                )
+                x = jax.nn.relu(
+                    MaskedBatchNorm()(Linear(10)(x), use_running_average=True)
+                )
+                x = Linear(10)(x)
+                return jnp.sum(x, axis=2)
+
+        tail = Tail()
+        tv = tail.init(jax.random.PRNGKey(0), feat)
+        return tail, tv
+
+    tail, tv = umb_mlp(feat_u)
+    pipelined(
+        lambda f: tail.apply(tv, f), feat_u, label="  umbrella MLP tail [B,N,8,10]"
+    )
     pipelined(
         lambda x: group_by_umbrella(x, x, k=9, drop_self=True),
         pts,
@@ -116,6 +156,53 @@ def main():
     pipelined(
         lambda c, n: sa1.apply(s1v, c, n, None, train=False),
         pts, normal, label="sa1 (512, ball .2, k32)",
+    )
+
+    # -- sa1 internals -------------------------------------------------------
+    from repsurf_tpu.ops.gather import index_points
+    from repsurf_tpu.ops.neighbors import ball_group
+    from repsurf_tpu.ops.sampling import farthest_point_sample
+
+    pipelined(
+        lambda c: farthest_point_sample(c, 512), pts, label="  sa1 fps 1024->512"
+    )
+    nc = jax.jit(lambda c: index_points(c, farthest_point_sample(c, 512)))(pts)
+    pipelined(
+        lambda c, q, n: ball_group(0.2, 32, c, q, (c, n, None))[:2],
+        pts, nc, normal, label="  sa1 ball_group (fused)",
+    )
+
+    def sa1_mlp(gc, gn):
+        """sa1 minus sampling/grouping: polar + CD first layer + MLP + max."""
+        from repsurf_tpu.geometry.polar import xyz2sphere
+        from repsurf_tpu.nn.layers import Linear, MaskedBatchNorm, SharedMLP
+        import flax.linen as fnn
+
+        class Tail(fnn.Module):
+            @fnn.compact
+            def __call__(self, gc, gn):
+                g = jnp.concatenate([gc, xyz2sphere(gc)], axis=-1)
+                loc = MaskedBatchNorm()(
+                    Linear(64)(g), use_running_average=True
+                )
+                fea = MaskedBatchNorm()(
+                    Linear(64)(gn), use_running_average=True
+                )
+                x = jax.nn.relu(loc + fea)
+                x = SharedMLP((64, 128))(x, train=False)
+                return jnp.max(x, axis=2)
+
+        t = Tail()
+        return t, t.init(jax.random.PRNGKey(0), gc, gn)
+
+    gc1, gn1 = jax.jit(
+        lambda c, q, n: ball_group(0.2, 32, c, q, (c, n, None))[:2]
+    )(pts, nc, normal)
+    gc1 = gc1 - nc[:, :, None]
+    t1, t1v = sa1_mlp(gc1, gn1)
+    pipelined(
+        lambda a, b: t1.apply(t1v, a, b), gc1, gn1,
+        label="  sa1 CD-MLP tail [64,512,32,.]",
     )
 
     c1, n1, f1, _ = jax.jit(lambda c, n: sa1.apply(s1v, c, n, None, train=False))(
