@@ -219,6 +219,25 @@ def ball_group(radius, nsample, xyz, new_xyz, tensors, valid=None):
     from .gather import _split_bf16_terms
 
     B, N, _ = xyz.shape
+    c_total = sum(t.shape[-1] for t in tensors if t is not None)
+    # the in-kernel Pallas twin (bit-identical) wins when the channel
+    # count fills its capture-matmul lanes and the cloud fits VMEM
+    # (measured v5e: C=141 4.7 -> 3.7 ms, C=13 3.3 -> 3.8 ms; see
+    # ops/pallas/ball_group.py for the full numbers)
+    if (
+        jax.default_backend() == "tpu"
+        and N <= 2048
+        and c_total >= 43
+        and all(
+            t is None or jnp.issubdtype(t.dtype, jnp.floating)
+            for t in tensors
+        )
+    ):
+        from .pallas.ball_group import ball_group_pallas
+
+        return ball_group_pallas(
+            radius, nsample, xyz, new_xyz, tensors, valid=valid
+        )
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
     point_ok = (

@@ -175,7 +175,8 @@ def main():
     def sa1_mlp(gc, gn):
         """sa1 minus sampling/grouping: polar + CD first layer + MLP + max."""
         from repsurf_tpu.geometry.polar import xyz2sphere
-        from repsurf_tpu.nn.layers import Linear, MaskedBatchNorm, SharedMLP
+        from repsurf_tpu.nn.blocks import SharedMLP
+        from repsurf_tpu.nn.layers import Linear, MaskedBatchNorm
         import flax.linen as fnn
 
         class Tail(fnn.Module):

@@ -92,7 +92,20 @@ def main():
         (np.asarray(gc) == np.asarray(ref)).all(),
     )
 
-    print(f"\n{6 - len(failures)}/6 checks passed")
+    # 7. wide-channel case takes the fused Pallas kernel route (C >= 43)
+    feat = jnp.asarray(
+        rng.randn(xyz.shape[0], xyz.shape[1], 64).astype(np.float32)
+    )
+    gc2, gf2 = jax.jit(
+        lambda c, qq, f: ball_group(0.35, 24, c, qq, (c, f))
+    )(xyz, q, feat)
+    bidx2 = jax.jit(lambda c, qq: ball_query(0.35, 24, c, qq))(xyz, q)
+    ok7 = (np.asarray(gc2) == np.asarray(index_points(xyz, bidx2))).all() and (
+        np.asarray(gf2) == np.asarray(index_points(feat, bidx2))
+    ).all()
+    check("ball_group pallas kernel (wide C)", ok7)
+
+    print(f"\n{7 - len(failures)}/7 checks passed")
     sys.exit(1 if failures else 0)
 
 
