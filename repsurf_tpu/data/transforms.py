@@ -50,5 +50,12 @@ def transform_point_cloud(key, pts, aug_scale=False, aug_shift=False,
 def fps_sample(pts, npoint):
     """FPS-downsample a batch of clouds: [B, N, C] -> [B, npoint, C]
     (xyz in the leading 3 channels drives the sampling)."""
+    if pts.shape[-1] == 3 and jax.default_backend() == "tpu":
+        # coords-only clouds: the FPS kernel emits the sampled coordinates
+        # itself (bit-equal to the gather), skipping the one-hot build
+        from ..ops.pallas.fps import fps_pallas
+
+        _, sampled = fps_pallas(pts, npoint, return_xyz=True)
+        return sampled
     idx = farthest_point_sample(pts[..., :3], npoint)
     return index_points(pts, idx)

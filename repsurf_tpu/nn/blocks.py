@@ -139,6 +139,21 @@ def _sample(center, npoint, stride, valid, num_sector, train):
     return idx, new_valid
 
 
+def _route_ball_feature_check(center, tensors, pos_channel, return_polar):
+    """Route to the fused ball-group feature kernel: TPU backend, cloud
+    fits VMEM, float channels, and the CD split boundary matches the
+    kernel's [rel(, polar)] pos layout."""
+    return (
+        jax.default_backend() == "tpu"
+        and center.shape[1] <= 2048
+        and pos_channel == (6 if return_polar else 3)
+        and all(
+            t is None or jnp.issubdtype(t.dtype, jnp.floating)
+            for t in tensors
+        )
+    )
+
+
 class SurfaceAbstractionCD(nn.Module):
     """Surface Abstraction with channel de-differentiation.
 
@@ -191,6 +206,28 @@ class SurfaceAbstractionCD(nn.Module):
             )
             new_center, new_normal = index_points_multi(idx, center, normal)
 
+            tensors = [center]
+            if self.return_normal:
+                tensors.append(normal)
+            if feature is not None:
+                tensors.append(feature)
+            if self.grouping == "ball" and _route_ball_feature_check(
+                center, tensors, self.pos_channel, self.return_polar
+            ):
+                # fused Pallas path: ball query + gathers + rel/polar/concat
+                # in one kernel, emitting the CD split (pos, feat) in bf16 —
+                # bit-identical MXU operands, ~halved HBM traffic and none
+                # of the slice/convert/layout fusions (see the kernel doc)
+                from ..ops.pallas.ball_group import ball_group_feature_pallas
+
+                pos, feat = ball_group_feature_pallas(
+                    self.radius, self.nsample, center, new_center, tensors,
+                    valid=valid, return_polar=self.return_polar,
+                    out_dtype=jnp.bfloat16,
+                )
+                return self._cd_tail(
+                    pos, feat, new_center, new_normal, new_valid, train
+                )
             if self.grouping == "ball":
                 group_center, group_normal, group_feature = ball_group(
                     self.radius, self.nsample, center, new_center,
@@ -213,11 +250,15 @@ class SurfaceAbstractionCD(nn.Module):
                 parts.append(group_feature)
             new_feature = jnp.concatenate(parts, axis=-1)
 
-        M = new_feature.shape[1]
-        mask = None if new_valid is None else counts_to_mask(new_valid, M)[:, :, None]
-
         pos = new_feature[..., : self.pos_channel]
         feat = new_feature[..., self.pos_channel :]
+        return self._cd_tail(pos, feat, new_center, new_normal, new_valid, train)
+
+    def _cd_tail(self, pos, feat, new_center, new_normal, new_valid, train):
+        """CD split MLP + neighbor max-pool (shared by the XLA and fused
+        Pallas grouping paths; identical module order => identical params)."""
+        M = pos.shape[1]
+        mask = None if new_valid is None else counts_to_mask(new_valid, M)[:, :, None]
         loc = MaskedBatchNorm(axis_name=self.axis_name)(
             Linear(self.mlp[0])(pos), mask=mask, use_running_average=not train
         )

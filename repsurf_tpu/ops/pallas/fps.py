@@ -33,7 +33,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fps_kernel(npoint, xyz_ref, valid_ref, idx_ref, tmp_ref):
+def _fps_kernel(npoint, with_xyz, xyz_ref, valid_ref, *refs):
+    if with_xyz:
+        idx_ref, xyz_out_ref, tmp_ref = refs
+    else:
+        (idx_ref, tmp_ref) = refs
+        xyz_out_ref = None
     x = xyz_ref[0]
     y = xyz_ref[1]
     z = xyz_ref[2]
@@ -53,6 +58,13 @@ def _fps_kernel(npoint, xyz_ref, valid_ref, idx_ref, tmp_ref):
         cx = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
         cy = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
         cz = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
+        if xyz_out_ref is not None:
+            # the selected centroid's coordinates are already in registers:
+            # emitting them here replaces the caller's post-kernel gather
+            # (~1 ms of one-hot build at batch 64 x 2048 -> 1024)
+            xyz_out_ref[0, pl.ds(i, 1), :] = cx.reshape(1, rows)
+            xyz_out_ref[1, pl.ds(i, 1), :] = cy.reshape(1, rows)
+            xyz_out_ref[2, pl.ds(i, 1), :] = cz.reshape(1, rows)
         d2 = jnp.square(x - cx) + jnp.square(y - cy) + jnp.square(z - cz)
         tmp = jnp.minimum(tmp_ref[:], d2)
         tmp_ref[:] = tmp
@@ -75,9 +87,13 @@ def _round_up(v, m):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("npoint", "block_rows", "interpret")
+    jax.jit,
+    static_argnames=("npoint", "block_rows", "interpret", "return_xyz"),
 )
-def fps_pallas(xyz, npoint, valid=None, block_rows=None, interpret=False):
+def fps_pallas(
+    xyz, npoint, valid=None, block_rows=None, interpret=False,
+    return_xyz=False,
+):
     """Pallas implementation of farthest_point_sample.
 
     Args:
@@ -85,9 +101,11 @@ def fps_pallas(xyz, npoint, valid=None, block_rows=None, interpret=False):
       npoint: static sample count.
       valid: optional [B] int32 counts.
       interpret: run in interpreter mode (CPU testing).
+      return_xyz: also return the sampled coordinates [B, npoint, 3]
+        (captured in-kernel — equals index_points(xyz, idx) exactly).
 
     Returns:
-      idx: [B, npoint] int32.
+      idx: [B, npoint] int32 (and sampled_xyz if return_xyz).
     """
     # integer indices carry no gradient, but an input that structurally
     # carries a tangent (e.g. centers sliced out of a fused gather that
@@ -113,8 +131,23 @@ def fps_pallas(xyz, npoint, valid=None, block_rows=None, interpret=False):
     valid_c = jnp.pad(valid.astype(jnp.int32), (0, b_pad - B))[:, None]
 
     grid = (b_pad // block_rows,)
-    idx = pl.pallas_call(
-        functools.partial(_fps_kernel, m_pad),
+    out_specs = [
+        pl.BlockSpec(
+            (m_pad, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((m_pad, b_pad), jnp.int32)]
+    if return_xyz:
+        out_specs.append(
+            pl.BlockSpec(
+                (3, m_pad, block_rows),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((3, m_pad, b_pad), jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_fps_kernel, m_pad, return_xyz),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -126,14 +159,16 @@ def fps_pallas(xyz, npoint, valid=None, block_rows=None, interpret=False):
                 (block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (m_pad, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((m_pad, b_pad), jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((block_rows, n_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
     )(xyz_t, valid_c)
+    idx = out[0]
+    if return_xyz:
+        sampled = jnp.transpose(out[1], (2, 1, 0))[:B, :npoint]
+        return idx.T[:B, :npoint], sampled
     return idx.T[:B, :npoint]

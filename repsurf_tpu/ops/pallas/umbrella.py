@@ -299,6 +299,283 @@ def _fan_geometry_pack(rotate, return_dist, style, g_count, lane, gx, gy, gz):
     return packed
 
 
+def _umbrella_tq_kernel(
+    k, skip, rotate, return_dist, style,
+    valid_sref, xyzp_ref, q_ref, out_ref, d2_ref,
+):
+    """Transposed-layout umbrella kernel: queries on LANES, candidates on
+    SUBLANES, fans on SUBLANES.
+
+    The full-scan kernel (_umbrella_kernel) keeps queries on sublanes and
+    candidates on lanes, so every extraction reduce is a cross-LANE reduce
+    (shuffle-heavy on the VPU) and the fan-geometry phase runs on
+    [block_q, 128] arrays in which only g_count of 128 lanes carry data
+    (94% wasted VPU work).  Transposing fixes both:
+
+      * the k extraction rounds reduce [n, bq] along SUBLANES — vreg-wise
+        min chains with a 3-step tail instead of 7-step lane shuffles;
+      * per-fan quantities live in [8, bq] — ONE vreg row-block per
+        quantity, so the azimuth rank/sort/roll/repair chain is ~16x less
+        VPU work than the lane-parallel form;
+      * the coordinate capture flips to Pcat9 [9, n] @ sel [n, bq] — same
+        exact 3-term bf16 trick, MXU-tiny.
+
+    Output is packed TRANSPOSED as [G*C, bq] rows (row g*C + c) with one
+    constant [GC, 8*C] one-hot MXU matmul; the caller transposes back
+    (an [B, GC, N] -> [B, N, GC] XLA transpose, HBM-bandwidth trivial).
+
+    Measured at batch 64 x 1024 (v5e): 6.0 ms (full) -> see PERF.md round-3
+    table for this kernel.  Semantics are bit-identical to _umbrella_kernel
+    (same formulas, same tie-breaks); exactness tests run both against the
+    XLA chain.
+    """
+    n, bq = d2_ref.shape
+    g_count = k - skip
+    g_sub = _round_up(max(g_count, 1), 8)
+    names = _feature_order(style, return_dist)
+    c_count = len(names)
+    b = pl.program_id(0)
+
+    px = xyzp_ref[0, :, 0:1]  # [n, 1]
+    py = xyzp_ref[0, :, 1:2]
+    pz = xyzp_ref[0, :, 2:3]
+    qx = q_ref[0, 0:1, :]  # [1, bq]
+    qy = q_ref[0, 1:2, :]
+    qz = q_ref[0, 2:3, :]
+    p0x = px[0:1, 0:1]  # point 0: the kNN padding target
+    p0y = py[0:1, 0:1]
+    p0z = pz[0:1, 0:1]
+
+    # [9, n] bf16 capture operand: exact 3-term split of the transposed
+    # coordinates, concatenated on sublanes (one dot per round)
+    xt = jnp.concatenate([px, py, pz], axis=1).T  # [3, n]
+    T1, T2, T3 = _split3_kernel(xt)
+    Pcat9 = jnp.concatenate([T1, T2, T3], axis=0)  # [9, n] bf16
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n, bq), 0)
+    fani = jax.lax.broadcasted_iota(jnp.int32, (g_sub, bq), 0)
+
+    d2 = (
+        jnp.square(px - qx) + jnp.square(py - qy) + jnp.square(pz - qz)
+    )
+    d2_ref[:] = jnp.where(rowi < valid_sref[b], d2, BIG_DIST2)
+
+    def body(r, carry):
+        gx, gy, gz = carry
+        d2 = d2_ref[:]
+        dmin = jnp.min(d2, axis=0, keepdims=True)  # [1, bq]
+        i = jnp.min(
+            jnp.where(d2 == dmin, rowi, n), axis=0, keepdims=True
+        )  # lowest-index tie-break, same as the lane kernel
+        sel = rowi == i
+        selb = sel.astype(jnp.bfloat16)
+        cap = jnp.dot(Pcat9, selb, preferred_element_type=jnp.float32)
+        cxv = cap[0:1] + cap[3:4] + cap[6:7]  # [1, bq]
+        cyv = cap[1:2] + cap[4:5] + cap[7:8]
+        czv = cap[2:3] + cap[5:6] + cap[8:9]
+        pad = dmin >= BIG_DIST2
+        cxv = jnp.where(pad, p0x, cxv)
+        cyv = jnp.where(pad, p0y, cyv)
+        czv = jnp.where(pad, p0z, czv)
+        slot = fani == (r - skip)
+        gx = jnp.where(slot, cxv, gx)
+        gy = jnp.where(slot, cyv, gy)
+        gz = jnp.where(slot, czv, gz)
+        d2_ref[:] = jnp.where(sel, jnp.inf, d2)
+        return gx, gy, gz
+
+    zeros = jnp.zeros((g_sub, bq), jnp.float32)
+    gx, gy, gz = jax.lax.fori_loop(0, k, body, (zeros, zeros, zeros))
+
+    gx = gx - qx
+    gy = gy - qy
+    gz = gz - qz
+
+    out_ref[0] = _fan_geometry_pack_tq(
+        rotate, return_dist, style, g_count, fani, gx, gy, gz
+    )
+
+
+def _fan_geometry_pack_tq(rotate, return_dist, style, g_count, fani, gx, gy, gz):
+    """Fan geometry + packing with fans on SUBLANES ([g_sub, bq] arrays).
+
+    Same formulas / tie-breaks / repair as _fan_geometry_pack (see there for
+    the reference citations); returns packed [G*C, bq] rows (row g*C + c).
+    """
+    g_sub, bq = gx.shape
+    names = _feature_order(style, return_dist)
+    c_count = len(names)
+    zeros = jnp.zeros((g_sub, bq), jnp.float32)
+
+    if rotate:
+        R = FIXED_ROTATION_ROWS
+        xr = R[0][0] * gx + R[1][0] * gy + R[2][0] * gz
+        yr = R[0][1] * gx + R[1][1] * gy + R[2][1] * gz
+    else:
+        xr, yr = gx, gy
+    xy0 = (xr == 0.0) & (yr == 0.0)
+    phi = atan2(yr, jnp.where(xy0, 1.0, xr)) / (2 * _PI) + 0.5
+
+    def row_get(arr, j):
+        """Extract sublane j as [1, bq]."""
+        return jnp.sum(jnp.where(fani == j, arr, 0), axis=0, keepdims=True)
+
+    # stable ascending rank (== position under jnp.argsort)
+    rank = jnp.zeros((g_sub, bq), jnp.int32)
+    for j in range(g_count):
+        pj = row_get(phi, j)
+        beats = (pj < phi) | ((pj == phi) & (j < fani))
+        rank = rank + beats.astype(jnp.int32)
+
+    # scatter to sorted order
+    sx = zeros
+    sy = zeros
+    sz = zeros
+    for j in range(g_count):
+        rj = row_get(rank, j)
+        put = fani == rj
+        sx = jnp.where(put, row_get(gx, j), sx)
+        sy = jnp.where(put, row_get(gy, j), sy)
+        sz = jnp.where(put, row_get(gz, j), sz)
+
+    # successor fan: roll -1 along sublanes with the wrap at g_count
+    wrap = fani == (g_count - 1)
+    v2x = jnp.where(wrap, row_get(sx, 0), pltpu.roll(sx, g_sub - 1, axis=0))
+    v2y = jnp.where(wrap, row_get(sy, 0), pltpu.roll(sy, g_sub - 1, axis=0))
+    v2z = jnp.where(wrap, row_get(sz, 0), pltpu.roll(sz, g_sub - 1, axis=0))
+
+    nx = sy * v2z - sz * v2y
+    ny = sz * v2x - sx * v2z
+    nz = sx * v2y - sy * v2x
+    s2 = jnp.square(nx) + jnp.square(ny) + jnp.square(nz)
+    deg = s2 == 0.0
+    norm = jnp.sqrt(jnp.where(deg, 1.0, s2))
+    ux = jnp.where(deg, 0.0, nx / norm)
+    uy = jnp.where(deg, 0.0, ny / norm)
+    uz = jnp.where(deg, 0.0, nz / norm)
+
+    sign = jnp.where(row_get(ux, 0) > 0, 1.0, -1.0)
+    ux = ux * sign
+    uy = uy * sign
+    uz = uz * sign
+
+    cx = (sx + v2x) / 3.0
+    cy = (sy + v2y) / 3.0
+    cz = (sz + v2z) / 3.0
+
+    s2c = jnp.square(cx) + jnp.square(cy) + jnp.square(cz)
+    zeroc = s2c == 0.0
+    rho = jnp.where(zeroc, 0.0, jnp.sqrt(jnp.where(zeroc, 1.0, s2c)))
+    u = jnp.clip(cz / jnp.where(zeroc, 1.0, rho), -1.0, 1.0)
+    at_pole = jnp.abs(u) >= 1.0
+    theta = acos(jnp.where(at_pole, 0.0, u))
+    theta = jnp.where(at_pole, jnp.where(u > 0, 0.0, _PI), theta)
+    theta = jnp.where(zeroc, 0.0, theta) / _PI
+    cxy0 = (cx == 0.0) & (cy == 0.0)
+    phic = atan2(cy, jnp.where(cxy0, 1.0, cx)) / (2 * _PI) + 0.5
+
+    if return_dist:
+        posv = (ux * cx + uy * cy + uz * cz) / jnp.sqrt(3.0)
+
+    ok = (~deg) & (fani < g_count)
+    fo = jnp.min(jnp.where(ok, fani, g_sub), axis=0, keepdims=True)
+    fo = jnp.where(fo >= g_sub, 0, fo)
+    selfo = fani == fo
+    badl = deg & (fani < g_count)
+
+    def repaired(arr):
+        repl = jnp.sum(jnp.where(selfo, arr, 0.0), axis=0, keepdims=True)
+        return jnp.where(badl, repl, arr)
+
+    cx, cy, cz = repaired(cx), repaired(cy), repaired(cz)
+    ux, uy, uz = repaired(ux), repaired(uy), repaired(uz)
+    if return_dist:
+        posv = repaired(posv)
+
+    chans = {
+        "cx": cx, "cy": cy, "cz": cz,
+        "rho": rho, "theta": theta, "phic": phic,
+        "ux": ux, "uy": uy, "uz": uz,
+    }
+    if return_dist:
+        chans["posv"] = posv
+
+    # pack: allch rows c*g_sub + g; PERM [GC, c_count*g_sub] one-hot takes
+    # row g*C + c from it.  One tiny MXU matmul; one non-zero per output
+    # row, so HIGHEST precision reproduces f32 exactly (see the lane
+    # kernel's pack for the rationale).
+    allch = jnp.concatenate([chans[name] for name in names], axis=0)
+    gc = g_count * c_count
+    out_rows = _round_up(gc, 8)
+    row_o = jax.lax.broadcasted_iota(jnp.int32, (out_rows, c_count * g_sub), 0)
+    col_o = jax.lax.broadcasted_iota(jnp.int32, (out_rows, c_count * g_sub), 1)
+    g_of = row_o // c_count
+    c_of = row_o - g_of * c_count
+    perm = (
+        (col_o == c_of * g_sub + g_of) & (row_o < gc) & (g_of < g_count)
+    ).astype(jnp.float32)
+    return jnp.dot(
+        perm,
+        allch,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _umbrella_tq(
+    xyz, k, drop_self, rotate, return_dist, style, valid, block_q, interpret
+):
+    """Transposed-layout dispatch (see _umbrella_tq_kernel)."""
+    B, N, _ = xyz.shape
+    G = k - 1 if drop_self else k
+    C = 10 if return_dist else 9
+    gc = G * C
+    out_rows = _round_up(gc, 8)
+    if valid is None:
+        valid = jnp.full((B,), N, jnp.int32)
+
+    n_pad = max(_round_up(N, 8), 128)
+    if block_q is None:
+        block_q = 512 if N >= 512 else max(128, _round_up(N, 128))
+    m_pad = _round_up(N, block_q)
+
+    xyz_f = xyz.astype(jnp.float32)
+    xyz_p = jnp.pad(xyz_f, ((0, 0), (0, n_pad - N), (0, 0)))  # [B, n_pad, 3]
+    q_t = jnp.transpose(xyz_f, (0, 2, 1))  # [B, 3, N]
+    q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, m_pad - N)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, m_pad // block_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_pad, 3), lambda b, m, v: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, block_q), lambda b, m, v: (b, 0, m),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, out_rows, block_q), lambda b, m, v: (b, 0, m),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((n_pad, block_q), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _umbrella_tq_kernel, k, 1 if drop_self else 0, rotate,
+            return_dist, style,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, m_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), xyz_p, q_t)
+    return jnp.transpose(out[:, :gc, :N], (0, 2, 1)).reshape(B, N, G, C)
+
+
 def _round_up(v, m):
     return -(-v // m) * m
 
@@ -604,6 +881,15 @@ def umbrella_features_pallas(
     B, N, _ = xyz.shape
     G = k - 1 if drop_self else k
     C = 10 if return_dist else 9
+    if impl == "auto" and G <= 16:
+        # queries-on-lanes kernel: cheaper sublane reduces + vreg-dense fan
+        # geometry (see _umbrella_tq_kernel docstring; round-3 PERF table)
+        impl = "tq"
+    if impl == "tq":
+        return _umbrella_tq(
+            xyz, k, drop_self, rotate, return_dist, style, valid, block_q,
+            interpret,
+        )
     if G * C > _LANES:
         raise ValueError(f"umbrella fans*channels {G * C} exceed {_LANES} lanes")
     if impl == "auto":

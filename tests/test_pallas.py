@@ -36,6 +36,20 @@ class TestFPSPallas:
         b = np.asarray(farthest_point_sample_xla(xyz, 8))
         np.testing.assert_array_equal(a, b)
 
+    def test_return_xyz_matches_gather(self, rng):
+        """The in-kernel coordinate capture must equal index_points(xyz, idx)
+        exactly (it replaces that gather in data.transforms.fps_sample)."""
+        from repsurf_tpu.ops.gather import index_points
+
+        xyz = (rng.rand(5, 300, 3) * 2 - 1).astype(np.float32)
+        valid = np.array([300, 120, 7, 300, 33], np.int32)
+        idx, sam = fps_pallas(xyz, 64, valid=valid, return_xyz=True, interpret=True)
+        idx2 = fps_pallas(xyz, 64, valid=valid, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+        np.testing.assert_array_equal(
+            np.asarray(sam), np.asarray(index_points(xyz, idx))
+        )
+
 
 class TestUmbrellaPallas:
     """Fused umbrella kernel vs the XLA composition (exact match)."""
@@ -102,6 +116,39 @@ class TestUmbrellaPallas:
         xyz = (rng.rand(2, 40, 3) * 2 - 1).astype(np.float32)
         a = self._compare(xyz, 9, "cls", return_dist=False)
         assert a.shape == (2, 40, 8, 9)
+
+    def test_transposed_kernel_matches_full(self, rng):
+        """The queries-on-lanes kernel (impl='tq', the auto route) vs the
+        original lane-parallel kernel across styles, rotation, return_dist,
+        drop_self and ragged valid counts.  Tolerance _ATOL, not exact:
+        XLA-CPU contracts the plane-constant mul+add chain into FMAs
+        differently between the two kernel bodies (~1 ULP on the 'posv'
+        channel near zero); on TPU hardware the two are bit-identical
+        (checked by tools/tpu_smoke.py)."""
+        from repsurf_tpu.ops.pallas.umbrella import umbrella_features_pallas
+
+        cases = [
+            (2, 40, 9, "cls", False, True, True),
+            (1, 100, 9, "seg", True, True, True),
+            (2, 64, 9, "cls", False, False, True),
+            (3, 33, 7, "seg", True, True, False),
+        ]
+        for B, N, k, style, rot, rd, ds in cases:
+            xyz = (rng.rand(B, N, 3) * 2 - 1).astype(np.float32)
+            valid = np.array([N] + [max(4, N // 2)] * (B - 1), np.int32)
+            a = np.asarray(
+                umbrella_features_pallas(
+                    xyz, k, drop_self=ds, rotate=rot, return_dist=rd,
+                    style=style, valid=valid, impl="full", interpret=True,
+                )
+            )
+            b = np.asarray(
+                umbrella_features_pallas(
+                    xyz, k, drop_self=ds, rotate=rot, return_dist=rd,
+                    style=style, valid=valid, impl="tq", interpret=True,
+                )
+            )
+            np.testing.assert_allclose(a, b, atol=self._ATOL, rtol=0)
 
     def test_block_splitting(self, rng):
         from repsurf_tpu.geometry.umbrella import umbrella_features

@@ -16,6 +16,10 @@ Checks:
   4. Fused umbrella kernel vs XLA composition (<= 2e-6, FMA-only drift).
   5. One-hot MXU gather bit-exact vs take_along_axis.
   6. ball_group == ball_query + gathers (bit-exact).
+  7. Wide-channel ball_group Pallas kernel route (bit-exact).
+  8. Transposed umbrella kernel == lane kernel (bit-exact).
+  9/10. Ball-group feature kernels, both channel routes, vs the composed
+     chain (rel/feat bit-exact, polar <= 2e-6 FMA drift).
 """
 
 import os
@@ -105,7 +109,55 @@ def main():
     ).all()
     check("ball_group pallas kernel (wide C)", ok7)
 
-    print(f"\n{7 - len(failures)}/7 checks passed")
+    # 8. transposed umbrella kernel bit-equals the lane kernel on hardware
+    from repsurf_tpu.ops.pallas.umbrella import umbrella_features_pallas
+
+    ut = np.asarray(
+        jax.jit(
+            lambda x: umbrella_features_pallas(
+                x, 9, drop_self=True, style="cls", impl="tq"
+            )
+        )(xyz)
+    )
+    uf = np.asarray(
+        jax.jit(
+            lambda x: umbrella_features_pallas(
+                x, 9, drop_self=True, style="cls", impl="full"
+            )
+        )(xyz)
+    )
+    check("umbrella tq == full kernel", (ut == uf).all())
+
+    # 9/10. ball-group feature kernels (both channel-count routes) vs the
+    # composed chain: rel/feat exact, polar <= 2e-6 (FMA-only drift)
+    from repsurf_tpu.geometry.polar import xyz2sphere
+    from repsurf_tpu.ops.pallas.ball_group import ball_group_feature_pallas
+
+    for cf, nm in ((8, "t-kernel"), (64, "split kernel")):
+        f2 = jnp.asarray(
+            rng.randn(xyz.shape[0], xyz.shape[1], cf).astype(np.float32)
+        )
+        pos, ft = jax.jit(
+            lambda c, qq, f: ball_group_feature_pallas(
+                0.3, 16, c, qq, (c, f), return_polar=True,
+                out_dtype=jnp.float32,
+            )
+        )(xyz, q, f2)
+        bidx3 = jax.jit(lambda c, qq: ball_query(0.3, 16, c, qq))(xyz, q)
+        rel = np.asarray(index_points(xyz, bidx3)) - np.asarray(q)[:, :, None]
+        ref_pos = np.concatenate(
+            [rel, np.asarray(xyz2sphere(jnp.asarray(rel)))], -1
+        )
+        dp = np.abs(np.asarray(pos) - ref_pos).max()
+        df = np.abs(
+            np.asarray(ft) - np.asarray(index_points(f2, bidx3))
+        ).max()
+        check(
+            f"ball_group_feature ({nm})", dp <= 2e-6 and df == 0.0,
+            f"pos {dp:.2e} feat {df:.2e}",
+        )
+
+    print(f"\n{10 - len(failures)}/10 checks passed")
     sys.exit(1 if failures else 0)
 
 
