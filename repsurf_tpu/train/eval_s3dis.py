@@ -103,6 +103,33 @@ def chunk_scene(coord, feat, idx_data, voxel_max=80000, data_norm="mean", seed=N
     return idx_list, coord_list, feat_list
 
 
+def _scatter_votes_impl(pred, cnt, logits, idx_pad):
+    """Scatter-add one batch of softmax votes into the scene buffers
+    (module-level jit: per-scene buffer-size changes only re-trace this
+    tiny graph, never the 80k forward; out-of-range rows drop)."""
+    import jax
+    import jax.numpy as jnp
+
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    flat_idx = idx_pad.reshape(-1)
+    flat_p = probs.reshape(-1, probs.shape[-1])
+    pred = pred.at[flat_idx].add(flat_p, mode="drop")
+    cnt = cnt.at[flat_idx].add(1.0, mode="drop")
+    return pred, cnt
+
+
+_scatter_votes = None  # lazily jitted (jax import kept off module import)
+
+
+def _get_scatter_votes():
+    global _scatter_votes
+    if _scatter_votes is None:
+        import jax
+
+        _scatter_votes = jax.jit(_scatter_votes_impl, donate_argnums=(0, 1))
+    return _scatter_votes
+
+
 def predict_scene(
     forward_fn,
     coord,
@@ -113,6 +140,7 @@ def predict_scene(
     batch_size=4,
     data_norm="mean",
     seed=1000,
+    accumulate="auto",
 ):
     """Vote-accumulate softmax predictions over all chunks of one scene.
 
@@ -120,11 +148,18 @@ def predict_scene(
       forward_fn: callable(batch_dict) -> [B, n_max, num_class] logits
         (a jitted eval forward over the padded layout).
       coord/feat: [N, 3] raw scene arrays (feat in 0..255 RGB).
+      accumulate: 'host' keeps the reference-shaped numpy accumulation
+        (one [B, n_max, C] logits readback per batch); 'device' keeps the
+        vote buffer ON the accelerator (scatter-add per batch, one [N]
+        label readback per scene) — the TPU-native form of the CUDA
+        pred[idx]+=p loop (test_s3dis.py:203-221).  The two differ only
+        in f32 summation order.  'auto' = device on TPU.
 
     Returns:
       pred_choice: [N] int argmax of vote-averaged softmax.
     """
     import jax
+    import jax.numpy as jnp
 
     passes = voxel_passes(coord, voxel_size)
     idx_list, coord_list, feat_list = chunk_scene(
@@ -136,8 +171,50 @@ def predict_scene(
     n_max = ((n_max + bucket - 1) // bucket) * bucket
     n_max = min(n_max, voxel_max) if voxel_max else n_max
 
-    pred = np.zeros((coord.shape[0], num_class), np.float64)
-    pred_count = np.zeros((coord.shape[0], 1), np.float64)
+    if accumulate == "auto":
+        accumulate = "device" if jax.default_backend() == "tpu" else "host"
+
+    n_scene = coord.shape[0]
+    if accumulate == "device":
+        # scene-sized vote buffers stay on device; padded chunk slots and
+        # replicated tail samples scatter into out-of-range indices
+        # (mode='drop').  The forward stays in ITS OWN stable jit (the
+        # caller's) — the scatter is a separate, cheap-to-compile jit, so
+        # per-scene n_pad changes never recompile the 80k forward.
+        n_pad = ((n_scene + bucket - 1) // bucket) * bucket
+
+        pred_d = jnp.zeros((n_pad + 1, num_class), jnp.float32)
+        cnt_d = jnp.zeros((n_pad + 1,), jnp.float32)
+        for s in range(0, len(idx_list), batch_size):
+            chunk_idx = idx_list[s : s + batch_size]
+            samples = [
+                (coord_list[s + j], feat_list[s + j], None)
+                for j in range(len(chunk_idx))
+            ]
+            idx_rows = [
+                np.pad(
+                    gi.astype(np.int64), (0, n_max - len(gi)),
+                    constant_values=n_pad + 1,  # out of range -> dropped
+                )
+                for gi in chunk_idx
+            ]
+            while len(samples) < batch_size:
+                samples.append(samples[-1])
+                idx_rows.append(np.full((n_max,), n_pad + 1, np.int64))
+            batch = pad_batch(samples, n_max)
+            idx_pad = jnp.asarray(np.stack(idx_rows))
+            logits = forward_fn(batch)  # stays on device
+            pred_d, cnt_d = _get_scatter_votes()(
+                pred_d, cnt_d, logits, idx_pad
+            )
+
+        choice = jnp.argmax(
+            pred_d[:n_scene] / jnp.maximum(cnt_d[:n_scene, None], 1.0), -1
+        )
+        return np.asarray(choice)
+
+    pred = np.zeros((n_scene, num_class), np.float64)
+    pred_count = np.zeros((n_scene, 1), np.float64)
     for s in range(0, len(idx_list), batch_size):
         chunk_idx = idx_list[s : s + batch_size]
         samples = [

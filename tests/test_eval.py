@@ -107,6 +107,28 @@ class TestPredictScene:
         assert pred.shape == (600,)
         assert set(np.unique(pred)) <= {0, 1, 2, 3}
 
+    def test_device_accumulation_matches_host(self, rng):
+        """The on-device scatter-add vote buffer (the TPU-native form of the
+        reference's pred[idx]+=p loop) must reproduce the host numpy
+        accumulation exactly up to f32 summation order."""
+        coord = (rng.rand(500, 3) * 4).astype(np.float32)
+        feat = (rng.rand(500, 3) * 255).astype(np.float32)
+
+        def forward_fn(batch):
+            f = batch["feat"]
+            key = (f[..., 0] * 97 + f[..., 1] * 13).astype(jnp.int32) % 5
+            return jax.nn.one_hot(key, 5) * 3.0 + f[..., :1] * 0.0
+
+        kw = dict(num_class=5, voxel_size=0.3, voxel_max=300,
+                  batch_size=2, seed=0)
+        host = eval_s3dis.predict_scene(
+            forward_fn, coord, feat, accumulate="host", **kw
+        )
+        dev = eval_s3dis.predict_scene(
+            forward_fn, coord, feat, accumulate="device", **kw
+        )
+        assert (host != dev).mean() < 0.01  # f32-order ties only
+
 
 class TestModelVariants:
     def test_triangular_classifier(self, rng):
