@@ -194,8 +194,8 @@ def knn_window(
     xyz,
     new_xyz,
     valid=None,
-    grid2d=32,
-    grid_z=12,
+    grid2d=None,
+    grid_z=None,
     qblk=None,
     w_budget=4096,
     fallback_max=8192,
@@ -209,7 +209,16 @@ def knn_window(
     Args:
       k: static neighbor count.
       xyz: [B, N, 3]; new_xyz: [B, M, 3]; valid: optional [B] counts.
-      grid2d: static cells per x/y axis; grid_z: static z cells.
+      grid2d: static cells per x/y axis; grid_z: static z cells.  The
+        None default derives both from (N, k): the exactness guard fires
+        whenever the k-th neighbor lies further than one cell, so the
+        grid must be coarse enough that a 3x3-column window at average
+        density holds ~32x k candidates.  A fixed fine grid (the old
+        32/12 default) made the FPS-DOWNSAMPLED SA stages re-solve
+        essentially every query brute-force: at stage density the k=32
+        radius exceeds the cell size (measured ~150 ms of guarded
+        fallback per seg train step, batch 2 x 80k — the single largest
+        line in the round-3 step trace).
       qblk: static queries per kernel block (blocks never span (x, y)
         columns; None = auto from query density per column).
       w_budget: static packed candidate window width (lane multiple).
@@ -219,6 +228,11 @@ def knn_window(
 
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
+    if grid2d is None:
+        grid2d = max(4, min(32, int((9 * N / (32 * k)) ** 0.5)))
+    if grid_z is None:
+        # keep the room-shaped 32:12 xy:z aspect of the tuned default
+        grid_z = max(2, int(round(grid2d * 12 / 32)))
     G = grid2d
     Gz = grid_z
     G2 = G * G
