@@ -39,7 +39,10 @@ import time
 import numpy as np
 
 REFERENCE_3090_SEG_SCENES_PER_SEC_PER_GPU = 6.15
+# the cls denominator is an ESTIMATE (range derived above); vs_baseline uses
+# the midpoint for continuity and vs_baseline_range carries the honest bounds
 A100_REFERENCE_CLOUDS_PER_SEC = 4000.0
+A100_REFERENCE_CLOUDS_PER_SEC_RANGE = (3500.0, 5300.0)
 
 
 def bench_seg():
@@ -109,7 +112,9 @@ def bench_infer():
     import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
+    status = "no-output"
     try:
+        out = None
         out = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "bench_infer_s3dis.py"),
              "--scenes", "3"],
@@ -120,12 +125,16 @@ def bench_infer():
                 print(line)
                 return
     except subprocess.TimeoutExpired:
-        pass
+        status = "timeout"
+    if out is not None and out.returncode != 0:
+        status = f"subprocess-failed-rc{out.returncode}"
+    # explicit degradation marker — a null value must never look like data
     print(
         json.dumps(
             {
                 "metric": "s3dis_infer_scenes_per_sec_per_chip",
                 "value": None,
+                "status": status,
                 "unit": "scenes/sec",
                 "vs_baseline": None,
             }
@@ -174,6 +183,7 @@ def bench_cls():
     run(5)  # pipeline warmup
     per_batch = min(run(40), run(40))
     clouds_per_sec = batch / per_batch
+    lo, hi = A100_REFERENCE_CLOUDS_PER_SEC_RANGE
     print(
         json.dumps(
             {
@@ -183,12 +193,20 @@ def bench_cls():
                 "vs_baseline": round(
                     clouds_per_sec / A100_REFERENCE_CLOUDS_PER_SEC, 4
                 ),
+                # denominator is an estimate; honest bounds (see docstring)
+                "vs_baseline_range": [
+                    round(clouds_per_sec / hi, 4),
+                    round(clouds_per_sec / lo, 4),
+                ],
             }
         )
     )
 
 
 def main():
+    from repsurf_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()  # steady-state metrics; don't re-pay compiles
     bench_seg()
     bench_infer()
     bench_cls()  # headline metric last: the driver reads the final line

@@ -12,8 +12,11 @@ keeps all k columns — the self point (distance 0) forms degenerate fans that
 the repair step overwrites.  ``drop_self`` selects between the two.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.gather import index_points, resort_points
 from ..ops.neighbors import knn
@@ -149,17 +152,8 @@ def umbrella_features(
         )
 
     if impl == "pallas":
-        from ..ops.pallas.umbrella import umbrella_features_pallas
-
-        feat = umbrella_features_pallas(
-            jax.lax.stop_gradient(xyz),
-            k,
-            drop_self=drop_self,
-            rotate=(style == "seg"),
-            return_dist=return_dist,
-            style=style,
-            valid=valid,
-            interpret=interpret,
+        feat = _umbrella_pallas_xla_vjp(
+            xyz, valid, k, return_dist, style, interpret
         )
         if random_inv_sign is not None:
             # the kernel leaves normals un-inverted; the +-1 sample sign on
@@ -191,3 +185,54 @@ def umbrella_features(
         return jnp.concatenate([t_center, polar, normal, pos], axis=-1)
     normal, t_center = repair_invalid_group(bad, normal, t_center)
     return jnp.concatenate([t_center, polar, normal], axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _umbrella_pallas_xla_vjp(xyz, valid, k, return_dist, style, interpret):
+    """Pallas umbrella forward with the XLA composition as its gradient.
+
+    The fused kernel (ops/pallas/umbrella.py) defines no backward of its
+    own.  Rather than silently stopping the gradient on the kernel route
+    (the round-3 behavior — a trap for any model feeding learned
+    coordinates in), the documented contract is: the gradient of the
+    umbrella geometry IS the gradient of the bit-equal XLA composition,
+    recomputed in the backward pass.  Both reference pipelines treat xyz
+    as data, so this backward never runs in the stock models; when it
+    does run, both routes agree (tests/test_geometry.py).
+    """
+    from ..ops.pallas.umbrella import umbrella_features_pallas
+
+    return umbrella_features_pallas(
+        xyz,
+        k,
+        drop_self=(style == "cls"),
+        rotate=(style == "seg"),
+        return_dist=return_dist,
+        style=style,
+        valid=valid,
+        interpret=interpret,
+    )
+
+
+def _umbrella_pallas_fwd(xyz, valid, k, return_dist, style, interpret):
+    out = _umbrella_pallas_xla_vjp(xyz, valid, k, return_dist, style, interpret)
+    return out, (xyz, valid)
+
+
+def _umbrella_pallas_bwd(k, return_dist, style, interpret, res, g):
+    xyz, valid = res
+
+    def xla_route(x):
+        return umbrella_features(
+            x, k, style=style, return_dist=return_dist, valid=valid, impl="xla"
+        )
+
+    _, vjp = jax.vjp(xla_route, xyz)
+    (dx,) = vjp(g)
+    d_valid = (
+        None if valid is None else np.zeros(valid.shape, dtype=jax.dtypes.float0)
+    )
+    return dx, d_valid
+
+
+_umbrella_pallas_xla_vjp.defvjp(_umbrella_pallas_fwd, _umbrella_pallas_bwd)

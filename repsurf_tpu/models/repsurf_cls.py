@@ -51,6 +51,7 @@ class RepSurfClassifier(nn.Module):
     return_polar: bool = True
     random_inv: bool = True
     constructor: str = "umbrella"  # umbrella | triangular
+    head_dropout: float = 0.4  # reference classifier Dropout(0.4)
     axis_name: Optional[str] = None
 
     # architecture (reference repsurf_ssg_umb.py:22-30)
@@ -120,6 +121,7 @@ class RepSurfClassifier(nn.Module):
         return _ClsHead(
             hidden=tuple(self.head_hidden),
             num_class=self.num_class,
+            dropout=self.head_dropout,
             axis_name=self.axis_name,
             name="classifier",
         )(feature, train=train)

@@ -47,6 +47,7 @@ class RepSurfSegmentor(nn.Module):
     return_polar: bool = False
     random_inv: bool = True
     num_sector: int = 4  # sector-parallel FPS on stage 1 (reference sa1)
+    head_dropout: float = 0.5  # reference classifier Dropout(0.5)
     axis_name: Optional[str] = None
 
     sa_stride: Sequence[int] = (4, 4, 4, 4)
@@ -128,7 +129,10 @@ class RepSurfSegmentor(nn.Module):
             else counts_to_mask(valid, pos.shape[1])[..., None]
         )
         return _SegHead(
-            num_class=self.num_class, axis_name=self.axis_name, name="classifier"
+            num_class=self.num_class,
+            dropout=self.head_dropout,
+            axis_name=self.axis_name,
+            name="classifier",
         )(x, mask=mask, train=train)
 
 

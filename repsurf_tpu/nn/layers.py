@@ -120,6 +120,13 @@ class MaskedBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # Two-pass moments (mean first, then centered second moment):
+            # the one-pass E[x^2] - E[x]^2 form cancels catastrophically in
+            # f32 for low-variance channels and measurably diverged from the
+            # torch reference's train-mode forward (2.7e-2 on the umbrella
+            # constructor output with inputs agreeing to 1e-6 — caught by
+            # tests/test_train_parity.py).  Under axis_name this costs a
+            # second psum round; BN is a negligible slice of step time.
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             if mask is None:
@@ -127,21 +134,27 @@ class MaskedBatchNorm(nn.Module):
 
                 cnt = jnp.asarray(float(math.prod(x.shape[:-1])), jnp.float32)
                 s = jnp.sum(xf, axis=axes)
-                sq = jnp.sum(jnp.square(xf), axis=axes)
+                if self.axis_name is not None:
+                    cnt = jax.lax.psum(cnt, self.axis_name)
+                    s = jax.lax.psum(s, self.axis_name)
+                cnt = jnp.maximum(cnt, 1.0)
+                mean = s / cnt
+                cs = jnp.sum(jnp.square(xf - mean), axis=axes)
             else:
                 if mask.ndim == x.ndim and mask.shape[-1] == 1:
                     mask = mask[..., 0]  # accept [..., 1] channel-style masks
                 w = jnp.broadcast_to(mask, x.shape[:-1]).astype(jnp.float32)[..., None]
                 cnt = jnp.sum(w)
                 s = jnp.sum(xf * w, axis=axes)
-                sq = jnp.sum(jnp.square(xf) * w, axis=axes)
+                if self.axis_name is not None:
+                    cnt = jax.lax.psum(cnt, self.axis_name)
+                    s = jax.lax.psum(s, self.axis_name)
+                cnt = jnp.maximum(cnt, 1.0)
+                mean = s / cnt
+                cs = jnp.sum(jnp.square(xf - mean) * w, axis=axes)
             if self.axis_name is not None:
-                cnt = jax.lax.psum(cnt, self.axis_name)
-                s = jax.lax.psum(s, self.axis_name)
-                sq = jax.lax.psum(sq, self.axis_name)
-            cnt = jnp.maximum(cnt, 1.0)
-            mean = s / cnt
-            var = jnp.maximum(sq / cnt - jnp.square(mean), 0.0)
+                cs = jax.lax.psum(cs, self.axis_name)
+            var = jnp.maximum(cs / cnt, 0.0)
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = (

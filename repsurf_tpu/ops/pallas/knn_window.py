@@ -22,10 +22,13 @@ kernel keeps the pruning and kills the gathers:
     kernels bit-for-bit;
   * EXACTNESS GUARD on the XLA side: the 3x3-column z-window provably
     contains all true neighbors iff the k-th distance is within one cell
-    pitch on every axis; queries failing that — or blocks whose runs were
-    truncated or overflowed the packed window, or that fell outside the
-    grid — are re-solved against the full cloud with a tiered fallback.
-    Wrong configurations are slow, never wrong.
+    pitch on every axis; queries outside the point bbox clamp into the
+    edge cells and tighten the bound by their overhang (margin), so only
+    genuinely-uncoverable queries — kth beyond (pitch - margin), or
+    blocks whose runs were truncated or overflowed the packed window —
+    are re-solved against the full cloud with a tiered fallback whose
+    chunk width matches the tier (a 32-query tier costs a 32-row scan,
+    not a padded 512).  Wrong configurations are slow, never wrong.
 
 Why 3-D cells: 2-D slab variants fail structurally on rooms — an
 axis-perpendicular wall lives in ONE slab and overflows any per-slab
@@ -186,7 +189,7 @@ def _round_up(v, m):
     jax.jit,
     static_argnames=(
         "k", "grid2d", "grid_z", "qblk", "w_budget", "fallback_max",
-        "interpret",
+        "interpret", "debug_counts",
     ),
 )
 def knn_window(
@@ -200,6 +203,7 @@ def knn_window(
     w_budget=4096,
     fallback_max=8192,
     interpret=False,
+    debug_counts=False,
 ):
     """Exact batched kNN via the window-pruned Pallas kernel.
 
@@ -278,8 +282,16 @@ def knn_window(
         p4 = jnp.pad(p4, ((0, 0), (0, n_pad - N)))
 
         qc_raw = jnp.floor((q - lo) / cs).astype(jnp.int32)
-        outside = jnp.any(
-            (qc_raw < 0) | (qc_raw > cmax[None, :]), axis=-1
+        # Queries outside the point bbox clamp into the edge cells; their
+        # 3x3 window then covers everything within (pitch - margin) of the
+        # query, so the exactness bound tightens by the per-query overhang
+        # instead of a binary outside->fallback flag.  This matters even
+        # for self-kNN: the bbox-max point floors into cell index G and
+        # the old test flagged it "outside" (a handful of ~31 ms
+        # tier-fallbacks per train step for boundary artifacts).
+        margin = jnp.maximum(
+            jnp.max(jnp.maximum(lo[None, :] - q, q - hi[None, :]), axis=-1),
+            0.0,
         )
         qc = jnp.clip(qc_raw, 0, cmax)
         qcol = qc[:, 0] * G + qc[:, 1]
@@ -365,13 +377,13 @@ def knn_window(
         bound = jnp.min(cs)
         used = col_pad_start[-1] // qblk  # blocks holding real queries
         return (
-            p4, qs_pad, qord, pos, tab, overflow, bound, outside, point_ok,
+            p4, qs_pad, qord, pos, tab, overflow, bound, margin, point_ok,
             used,
         )
 
     # one traced prep, batched: trace time and HLO size stay flat in B
     (
-        p4, qs_pad, qord, pos, tab, overflow, bound, outside, point_ok,
+        p4, qs_pad, qord, pos, tab, overflow, bound, margin, point_ok,
         used,
     ) = jax.vmap(prep)(xyz, new_xyz, valid)
     qs = qs_pad.reshape(B, nblk * qblk, 3)
@@ -433,7 +445,10 @@ def knn_window(
     dist_s = dist_s[:, :, :k]
 
     fb = min(fallback_max, M)
-    tiers = sorted({min(256, fb), min(2048, fb), fb})
+    # measured failure counts on production shapes are O(10) per sample
+    # (tools/knn_window_stats.py), so the first tier is small — a tier's
+    # brute cost is size-proportional via the matched chunk width below
+    tiers = sorted({min(32, fb), min(512, fb), fb})
 
     def post(args):
         """Unpad one sample's kernel results + tiered exact fallback.
@@ -444,7 +459,7 @@ def knn_window(
         sample (Python unroll) or select-executed always (vmap).
         """
         (
-            idx_b, dist_b, qord_b, pos_b, overflow_b, bound_b, outside_b,
+            idx_b, dist_b, qord_b, pos_b, overflow_b, bound_b, margin_b,
             ok_b, xyz_b, q_b,
         ) = args
         # padded-slot results back to original query order: sorted query i
@@ -459,10 +474,20 @@ def knn_window(
             overflow_b[jnp.clip(pos_b // qblk, 0, nblk - 1)], mode="drop"
         )
         kth = od[:, -1]
-        bad = (kth > bound_b * 0.999) | q_overflow | outside_b
+        kth_bad = kth > (bound_b - margin_b) * 0.999
+        bad = kth_bad | q_overflow
+        # guard-tuning diagnostics (debug_counts): why queries fell back
+        stats = jnp.stack(
+            [
+                jnp.sum(bad.astype(jnp.int32)),
+                jnp.sum(kth_bad.astype(jnp.int32)),
+                jnp.sum(q_overflow.astype(jnp.int32)),
+                jnp.sum((margin_b > 0).astype(jnp.int32)),
+            ]
+        )
 
-        def brute(queries):
-            CH = 512
+        def brute(queries, ch=512):
+            CH = min(ch, 512)
             m = queries.shape[0]
             mp = _round_up(m, CH)
             qp = jnp.pad(queries, ((0, mp - m), (0, 0))).reshape(
@@ -491,7 +516,7 @@ def knn_window(
             def resolve(acc):
                 oi, od = acc
                 p_ = jnp.nonzero(bad, size=size, fill_value=M)[0]
-                fi, fd = brute(q_b[jnp.clip(p_, 0, M - 1)])
+                fi, fd = brute(q_b[jnp.clip(p_, 0, M - 1)], ch=max(8, size))
                 return (
                     oi.at[p_].set(fi, mode="drop"),
                     od.at[p_].set(fd, mode="drop"),
@@ -505,12 +530,15 @@ def knn_window(
         sel = jnp.searchsorted(
             jnp.asarray([1] + [t + 1 for t in tiers]), n_bad, side="right"
         )
-        return jax.lax.switch(sel, branches, (oi, od))
+        oi, od = jax.lax.switch(sel, branches, (oi, od))
+        if debug_counts:
+            return oi, od, stats
+        return oi, od
 
     return jax.lax.map(
         post,
         (
-            idx_s, dist_s, qord, pos, overflow, bound, outside,
+            idx_s, dist_s, qord, pos, overflow, bound, margin,
             point_ok, xyz, new_xyz,
         ),
     )

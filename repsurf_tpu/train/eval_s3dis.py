@@ -183,9 +183,13 @@ def predict_scene(
         # per-scene n_pad changes never recompile the 80k forward.
         n_pad = ((n_scene + bucket - 1) // bucket) * bucket
 
-        pred_d = jnp.zeros((n_pad + 1, num_class), jnp.float32)
-        cnt_d = jnp.zeros((n_pad + 1,), jnp.float32)
-        for s in range(0, len(idx_list), batch_size):
+        def stage(s):
+            """Build chunk batch s..s+B on the host and START its H2D copy
+            (jax.device_put is asynchronous) — called right after the
+            previous forward is dispatched, so the upload of batch i+1
+            rides under the compute of batch i instead of serializing with
+            it (the axon tunnel's 33 MB/s link makes this overlap the
+            difference between link-bound and compute-bound inference)."""
             chunk_idx = idx_list[s : s + batch_size]
             samples = [
                 (coord_list[s + j], feat_list[s + j], None)
@@ -201,9 +205,19 @@ def predict_scene(
             while len(samples) < batch_size:
                 samples.append(samples[-1])
                 idx_rows.append(np.full((n_max,), n_pad + 1, np.int64))
-            batch = pad_batch(samples, n_max)
-            idx_pad = jnp.asarray(np.stack(idx_rows))
-            logits = forward_fn(batch)  # stays on device
+            batch = jax.device_put(pad_batch(samples, n_max))
+            idx_pad = jax.device_put(np.stack(idx_rows))
+            return batch, idx_pad
+
+        pred_d = jnp.zeros((n_pad + 1, num_class), jnp.float32)
+        cnt_d = jnp.zeros((n_pad + 1,), jnp.float32)
+        starts = list(range(0, len(idx_list), batch_size))
+        staged = stage(starts[0])
+        for i, s in enumerate(starts):
+            batch, idx_pad = staged
+            logits = forward_fn(batch)  # dispatched, stays on device
+            if i + 1 < len(starts):
+                staged = stage(starts[i + 1])  # upload under the compute
             pred_d, cnt_d = _get_scatter_votes()(
                 pred_d, cnt_d, logits, idx_pad
             )

@@ -52,14 +52,22 @@ def _conv_kernel(w):
     return w.T  # [out, in] -> [in, out]
 
 
+def _copy(x):
+    # np.array (NOT np.asarray): state dicts exported via tensor.numpy()
+    # SHARE storage with the live torch parameters — without a copy, a later
+    # optimizer.step() silently mutates the imported tree (this corrupted the
+    # first train-step parity comparison; see tests/test_train_parity.py)
+    return np.array(x, np.float32)
+
+
 def _assign_linear(params, flax_path, sd, torch_name):
     node = params
     for p in flax_path[:-1]:
         node = node[p]
     leaf = node[flax_path[-1]]
-    leaf["kernel"] = _conv_kernel(sd[torch_name + ".weight"]).astype(np.float32)
+    leaf["kernel"] = _copy(_conv_kernel(sd[torch_name + ".weight"]))
     if torch_name + ".bias" in sd and "bias" in leaf:
-        leaf["bias"] = np.asarray(sd[torch_name + ".bias"], np.float32)
+        leaf["bias"] = _copy(sd[torch_name + ".bias"])
 
 
 def _assign_bn(params, batch_stats, flax_path, sd, torch_name):
@@ -68,10 +76,10 @@ def _assign_bn(params, batch_stats, flax_path, sd, torch_name):
         p_node = p_node[p]
         s_node = s_node[p]
     p_leaf, s_leaf = p_node[flax_path[-1]], s_node[flax_path[-1]]
-    p_leaf["scale"] = np.asarray(sd[torch_name + ".weight"], np.float32)
-    p_leaf["bias"] = np.asarray(sd[torch_name + ".bias"], np.float32)
-    s_leaf["mean"] = np.asarray(sd[torch_name + ".running_mean"], np.float32)
-    s_leaf["var"] = np.asarray(sd[torch_name + ".running_var"], np.float32)
+    p_leaf["scale"] = _copy(sd[torch_name + ".weight"])
+    p_leaf["bias"] = _copy(sd[torch_name + ".bias"])
+    s_leaf["mean"] = _copy(sd[torch_name + ".running_mean"])
+    s_leaf["var"] = _copy(sd[torch_name + ".running_var"])
 
 
 def _to_mutable(tree):

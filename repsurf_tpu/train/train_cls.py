@@ -37,6 +37,7 @@ class ClsConfig:
     optimizer: str = "Adam"
     learning_rate: float = 1e-3
     decay_rate: float = 1e-4
+    momentum: float = 0.9  # SGD only
     decay_step: int = 20
     min_val: int = 100
     seed: int = 2800
@@ -49,6 +50,7 @@ class ClsConfig:
     return_polar: bool = True
     num_votes: int = 10
     init_type: Optional[str] = None  # kaiming | xavier | None (torch default)
+    head_dropout: float = 0.4
 
 
 class ClsTrainState(train_state.TrainState):
@@ -64,6 +66,7 @@ def build_model(cfg):
         return_dist=cfg.return_dist,
         return_center=cfg.return_center,
         return_polar=cfg.return_polar,
+        head_dropout=cfg.head_dropout,
     )
 
 
@@ -75,7 +78,7 @@ def create_state(cfg, key=None):
     if cfg.optimizer == "Adam":
         tx = make_adam(cfg.learning_rate, cfg.decay_rate)
     else:
-        tx = make_sgd(cfg.learning_rate, momentum=0.9)
+        tx = make_sgd(cfg.learning_rate, momentum=cfg.momentum)
     return ClsTrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -60,6 +60,7 @@ class SegConfig:
     group_size: int = 8
     return_polar: bool = False
     num_sector: int = 4
+    head_dropout: float = 0.5
     # augmentation flags (tool/train.py:74-94)
     aug_scale: bool = False
     aug_rotate: Optional[str] = None
@@ -84,6 +85,7 @@ def build_model(cfg, axis_name=None):
             group_size=cfg.group_size,
             return_polar=cfg.return_polar,
             num_sector=cfg.num_sector,
+            head_dropout=cfg.head_dropout,
         )
     else:
         kwargs.update(num_sector=cfg.num_sector)

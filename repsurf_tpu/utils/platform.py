@@ -17,3 +17,22 @@ def honor_platform_env():
 
     if jax.config.jax_platforms != want:
         jax.config.update("jax_platforms", want)
+
+
+def enable_compilation_cache(path=None):
+    """Turn on JAX's persistent compilation cache.
+
+    The production eval forward at [4, 80000] costs a ~10 min single-core
+    XLA compile on this host; with the cache enabled only the FIRST process
+    ever pays it.  Honors ``JAX_COMPILATION_CACHE_DIR`` if set; defaults to
+    a /tmp directory shared across runs on this machine."""
+    import jax
+
+    cache_dir = (
+        path
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or "/tmp/repsurf_tpu_xla_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

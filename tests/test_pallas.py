@@ -71,6 +71,34 @@ class TestUmbrellaPallas:
         np.testing.assert_allclose(a, b, atol=self._ATOL, rtol=0)
         return a
 
+    def test_gradient_contract_matches_xla_route(self, rng):
+        """The Pallas route's VJP is DEFINED as the XLA composition's VJP
+        (geometry/umbrella.py _umbrella_pallas_xla_vjp) — round 3 silently
+        stop_gradient'ed the kernel route, a route-dependent semantics trap.
+        Both routes must now return the same d(features)/d(xyz)."""
+        import jax
+        import jax.numpy as jnp
+
+        from repsurf_tpu.geometry.umbrella import umbrella_features
+
+        xyz = (rng.rand(2, 64, 3) * 2 - 1).astype(np.float32)
+        w = rng.randn(2, 64, 8, 10).astype(np.float32)
+
+        def scalar(impl):
+            def f(x):
+                feat = umbrella_features(
+                    x, 9, style="cls", impl=impl, interpret=(impl == "pallas")
+                )
+                return jnp.sum(feat * w)
+
+            return f
+
+        g_pallas = np.asarray(jax.grad(scalar("pallas"))(jnp.asarray(xyz)))
+        g_xla = np.asarray(jax.grad(scalar("xla"))(jnp.asarray(xyz)))
+        assert np.isfinite(g_pallas).all()
+        np.testing.assert_allclose(g_pallas, g_xla, atol=1e-5, rtol=0)
+        assert np.abs(g_xla).max() > 1e-3  # gradient actually flows
+
     def test_cls_style(self, rng):
         xyz = (rng.rand(2, 96, 3) * 2 - 1).astype(np.float32)
         a = self._compare(xyz, 9, "cls")

@@ -77,6 +77,9 @@ def load_tree(task):
             mods["model_umb_2x"] = importlib.import_module(
                 "models.repsurf.repsurf_ssg_umb_2x"
             )
+            mods["pointnet2_utils"] = importlib.import_module(
+                "modules.pointnet2_utils"
+            )
         else:
             mods["model_seg"] = importlib.import_module(
                 "models.repsurf.repsurf_umb_ssg"

@@ -28,6 +28,13 @@ def parse_args():
     p.add_argument("--return_polar", action="store_true", default=False)
     p.add_argument("--voxel_max", type=int, default=80000)
     p.add_argument("--voxel_size", type=float, default=0.04)
+    p.add_argument("--synthetic", action="store_true", default=False,
+                   help="evaluate on labeled synthetic rooms (no dataset)")
+    p.add_argument("--synthetic_rooms", type=int, default=3)
+    p.add_argument("--synthetic_raw", type=int, default=120000)
+    p.add_argument("--synthetic_seed", type=int, default=2000,
+                   help="must match the trainer's --seed so the val rooms "
+                        "are the same universe")
     return p.parse_args()
 
 
@@ -38,6 +45,9 @@ def main():
     from repsurf_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
+    from repsurf_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     import numpy as np
 
     from repsurf_tpu.nn.metrics import iou_from_counts
@@ -97,19 +107,40 @@ def main():
             jnp.asarray(batch["valid"]),
         )
 
-    names = sorted(
-        f[:-4]
-        for f in os.listdir(args.data_dir)
-        if f.endswith(".npy") and f"Area_{args.test_area}" in f
-    )
+    if args.synthetic:
+        # the val universe of SyntheticRooms (same seed convention as the
+        # --synthetic trainer), evaluated RAW like real whole scenes
+        from repsurf_tpu.data.synthetic_scene import SyntheticRooms
+
+        synth = SyntheticRooms(
+            "val",
+            n_rooms=args.synthetic_rooms,
+            raw_points=args.synthetic_raw,
+            seed=args.synthetic_seed,
+        )
+        names = list(synth.rooms)
+
+        def load_scene(si, name):
+            data = synth._make(si)
+            return data[:, :3], data[:, 3:6], data[:, 6]
+    else:
+        names = sorted(
+            f[:-4]
+            for f in os.listdir(args.data_dir)
+            if f.endswith(".npy") and f"Area_{args.test_area}" in f
+        )
+
+        def load_scene(si, name):
+            data = np.load(os.path.join(args.data_dir, name + ".npy"))
+            return data[:, :3], data[:, 3:6], data[:, 6]
+
     logger.info(f"{len(names)} scenes")
 
     from repsurf_tpu.nn.metrics import intersection_and_union
 
     tot = np.zeros((3, cfg.num_class))
     for si, name in enumerate(names):
-        data = np.load(os.path.join(args.data_dir, name + ".npy"))
-        coord, feat, label = data[:, :3], data[:, 3:6], data[:, 6]
+        coord, feat, label = load_scene(si, name)
         pred = predict_scene(
             forward_fn,
             coord,

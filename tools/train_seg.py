@@ -67,6 +67,11 @@ def parse_args():
                    help="checkpoint dir to resume model+optimizer+epoch from")
     p.add_argument("--pretrain", type=str, default=None,
                    help="checkpoint dir to load weights only from")
+    p.add_argument("--synthetic", action="store_true", default=False,
+                   help="train on labeled synthetic rooms (no dataset needed)")
+    p.add_argument("--synthetic_rooms", type=int, default=12)
+    p.add_argument("--synthetic_raw", type=int, default=120000,
+                   help="raw points per synthetic room (pre-voxelization)")
     return p.parse_args()
 
 
@@ -77,6 +82,9 @@ def main():
     from repsurf_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
+    from repsurf_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()  # the 80k train/eval steps compile once/host
     import jax.numpy as jnp
     import numpy as np
 
@@ -168,7 +176,31 @@ def main():
 
     coord_t = coord_transform_from_flags(cfg, S3DIS_AUG_ARGS)
     rgb_t = rgb_transform_from_flags(cfg)
-    if args.dataset == "ScanNet":
+    if args.synthetic:
+        from repsurf_tpu.data.synthetic_scene import SyntheticRooms
+
+        train_set = SyntheticRooms(
+            "train",
+            n_rooms=args.synthetic_rooms,
+            raw_points=args.synthetic_raw,
+            loop=cfg.loop,
+            voxel_size=cfg.voxel_size,
+            voxel_max=cfg.voxel_max,
+            coord_transform=coord_t,
+            rgb_transform=rgb_t,
+            shuffle_index=True,
+            seed=cfg.seed,
+        )
+        val_set = SyntheticRooms(
+            "val",
+            n_rooms=max(2, args.synthetic_rooms // 4),
+            raw_points=args.synthetic_raw,
+            loop=1,
+            voxel_size=cfg.voxel_size,
+            voxel_max=cfg.voxel_max,
+            seed=cfg.seed,
+        )
+    elif args.dataset == "ScanNet":
         from repsurf_tpu.data.scannet import ScanNetDataset
 
         train_set = ScanNetDataset(
