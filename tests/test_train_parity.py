@@ -58,7 +58,9 @@ def _leaves_with_paths(tree):
     return {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
 
 
-def _assert_update_parity(pre, ours_post, torch_post, rtol=1e-2, label=""):
+def _assert_update_parity(
+    pre, ours_post, torch_post, rtol=1e-2, label="", median_rtol=None
+):
     """Leaf-wise relative agreement of (post - pre) updates.
 
     pre / ours_post / torch_post: {params, batch_stats} variable dicts.
@@ -73,6 +75,29 @@ def _assert_update_parity(pre, ours_post, torch_post, rtol=1e-2, label=""):
     freeze) shows up as err ~ scale on MEANINGFUL leaves — e.g. the aliasing
     bug this test caught in train/torch_import.py produced err == scale on
     every BatchNorm leaf — which the global floor never masks.
+
+    Measured noise band (round 5, documented so the tolerance is evidence,
+    not hope).  A float64 torch oracle is unobtainable: the reference
+    forward is discretely chaotic — running it in f64 flips phi-argsort
+    ties / normal-sign boundaries in the umbrella geometry and diverges
+    from the f32 run at the FIRST umbrella linear layer (rel ~1.7 measured),
+    so the only available comparison is our-f32 vs torch-f32.  Sweeping 7
+    data seeds on the cls step: losses agree to <=3e-4 on every seed, but
+    the worst per-leaf update error spans 1.5%-4.6%, with (a) the worst
+    BN-scale channel MOVING between seeds (45/28/61/52/22 on seeds 11-15)
+    and tracking err ~= (1-2.5e-5) * sum|x_hat*dy| — an accumulation-noise
+    signature amplified by the BN-scale reduction's condition number
+    kappa = sum|terms|/|sum terms| = 20-450 — and (b) occasional seeds
+    (16, 17) where percent-level error appears across ALL leaf families at
+    unchanged loss agreement, i.e. a near-tie in the sorted geometry crossed
+    differently by the two implementations' ~1e-7 rounding.  Both are
+    properties of comparing two correct f32 implementations of a chaotic
+    pipeline, not of either implementation.  On the test's own seed (11)
+    the above-floor per-leaf distribution is 17 leaves, median 0.92%,
+    max 2.89%.  The two real bugs this test caught produced rel == 1.0 on
+    whole leaf families; ``rtol=5e-2`` keeps a 17x separation on the worst
+    leaf, and ``median_rtol`` pins the AGGREGATE behaviour (noise leaves
+    the median under ~1%, a semantic bug drags most leaves toward 1.0).
     """
     pre_l = _leaves_with_paths(pre)
     ours_l = _leaves_with_paths(ours_post)
@@ -88,12 +113,22 @@ def _assert_update_parity(pre, ours_post, torch_post, rtol=1e-2, label=""):
     # the step must actually have moved the parameters
     assert global_scale > 1e-5, f"{label}: no parameter moved (degenerate test)"
     floor = 1e-3 * global_scale
+    rels = []
     for k, (u_ours, u_ref) in updates.items():
         scale = max(np.abs(u_ref).max(), np.abs(u_ours).max())
         err = np.abs(u_ours - u_ref).max()
+        if err > floor:
+            rels.append(err / scale)
         assert err <= max(rtol * scale, floor), (
             f"{label}{k}: update err {err:.3e} vs scale {scale:.3e} "
             f"(global {global_scale:.3e})"
+        )
+    if median_rtol is not None and rels:
+        med = float(np.median(rels))
+        assert med <= median_rtol, (
+            f"{label}median of per-leaf rel update errors {med:.3e} > "
+            f"{median_rtol:.1e} over {len(rels)} above-floor leaves — "
+            "broad drift, not isolated cancellation noise"
         )
 
 
@@ -205,7 +240,12 @@ class TestClsTrainStepParity:
         torch_post = _split_variables(
             ti.import_torch_checkpoint(sd2, fresh, ti.cls_umbrella_mapping())
         )
-        _assert_update_parity(pre, ours_post, torch_post, label="cls ")
+        # rtol 5e-2 / median 2e-2: measured noise band (seed-11 distribution:
+        # 17 above-floor leaves, median 0.92%, max 2.89%) — see
+        # _assert_update_parity docstring for the full characterization
+        _assert_update_parity(
+            pre, ours_post, torch_post, rtol=5e-2, median_rtol=2e-2, label="cls "
+        )
 
 
 class TestSegTrainStepParity:
