@@ -81,8 +81,28 @@ class BestCheckpointer:
         self._ckpt.wait_until_finished()
         return True
 
-    def restore(self, template):
-        """Restore into the structure of `template` (a matching pytree)."""
+    def restore(self, template, partial=False):
+        """Restore into the structure of `template` (a matching pytree).
+
+        partial=True restores only the subtree present in `template` — the
+        eval CLIs need just {params, batch_stats} out of a full-resume
+        payload (reference test_s3dis.py loads model weights alone from the
+        training checkpoint the same way, tool/test_s3dis.py:74-82)."""
+        if partial:
+            ckptr = ocp.PyTreeCheckpointer()
+            try:
+                return ckptr.restore(
+                    self.path,
+                    args=ocp.args.PyTreeRestore(
+                        item=template,
+                        restore_args=ocp.checkpoint_utils.construct_restore_args(
+                            template
+                        ),
+                        partial_restore=True,
+                    ),
+                )
+            finally:
+                ckptr.close()
         return self._ckpt.restore(self.path, target=template)
 
     def exists(self):

@@ -25,14 +25,22 @@ def enable_compilation_cache(path=None):
     The production eval forward at [4, 80000] costs a ~10 min single-core
     XLA compile on this host; with the cache enabled only the FIRST process
     ever pays it.  Honors ``JAX_COMPILATION_CACHE_DIR`` if set; defaults to
-    a /tmp directory shared across runs on this machine."""
+    a per-user cache directory created mode 0700 (a world-shared /tmp path
+    would let another local user plant serialized executables that later
+    runs deserialize and run)."""
     import jax
 
-    cache_dir = (
-        path
-        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        or "/tmp/repsurf_tpu_xla_cache"
-    )
-    os.makedirs(cache_dir, exist_ok=True)
+    cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache_dir:
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+        cache_dir = os.path.join(base, "repsurf_tpu", "xla")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    st = os.stat(cache_dir)
+    if st.st_uid != os.getuid():
+        raise PermissionError(
+            f"compilation cache dir {cache_dir} is owned by uid {st.st_uid}, "
+            f"not the current user ({os.getuid()}) — refusing to deserialize "
+            "executables from a directory another user controls"
+        )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

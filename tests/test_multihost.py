@@ -66,6 +66,94 @@ print(f"RESULT {pid} {float(loss):.10f} {float(jnp.sum(jnp.abs(w))):.10f}")
 """
 
 
+_SEG_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+mode = sys.argv[1]                      # "multi" or "single"
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count="
+    + ("4" if mode == "multi" else "8")
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+if mode == "multi":
+    # must run before ANY backend-touching import (repsurf modules probe
+    # devices at import time)
+    coord, pid = sys.argv[2], int(sys.argv[3])
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=2, process_id=pid
+    )
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from repsurf_tpu.parallel.distributed import process_info
+from repsurf_tpu.parallel.mesh import make_mesh, replicate
+from repsurf_tpu.parallel.shard_step import (
+    make_seg_train_step, stack_batch_stats,
+)
+from repsurf_tpu.train import train_seg
+
+if mode == "multi":
+    assert process_info() == (pid, 2)
+assert len(jax.devices()) == 8, len(jax.devices())
+
+mesh = make_mesh()
+cfg = train_seg.SegConfig(voxel_max=64, batch_size=8, num_sector=2)
+state = train_seg.create_state(cfg, n_points=64, key=jax.random.PRNGKey(0))
+
+# every process builds the identical GLOBAL batch, then feeds only the rows
+# that live on its addressable devices (the DistributedSampler analog)
+rng = np.random.RandomState(100)
+B, N, C = 8, 64, cfg.num_class
+batch_np = {
+    "coord": rng.randn(B, N, 3).astype(np.float32),
+    "feat": rng.rand(B, N, 3).astype(np.float32),
+    "label": rng.randint(0, C, (B, N)).astype(np.int64),
+    "valid": np.full((B,), N, np.int32),  # per-sample valid counts
+}
+
+def shard_leading(tree):
+    sharding = NamedSharding(mesh, P("data"))
+    n = jax.process_count()
+    me = jax.process_index()
+    def build(x):
+        x = np.asarray(x)
+        per = x.shape[0] // n
+        return jax.make_array_from_process_local_data(
+            sharding, x[me * per : (me + 1) * per], x.shape
+        )
+    return jax.tree_util.tree_map(build, tree)
+
+batch = shard_leading(batch_np)
+stats8 = shard_leading(
+    jax.device_get(stack_batch_stats(state.batch_stats, 8))
+)
+params = replicate(state.params, mesh)
+opt_state = replicate(state.opt_state, mesh)
+w = replicate(jnp.ones((C,), jnp.float32), mesh)
+key = replicate(jax.random.PRNGKey(7), mesh)
+
+step = make_seg_train_step(cfg, mesh, bn="per_device")
+losses = []
+for _ in range(2):
+    params, opt_state, stats8, loss, (inter, union, target) = step(
+        params, opt_state, stats8, batch, w, key
+    )
+    losses.append(float(loss))
+
+cksum = jax.jit(
+    lambda t: sum(jnp.sum(jnp.abs(l)) for l in jax.tree_util.tree_leaves(t))
+)
+print(
+    "RESULT "
+    + " ".join(f"{l:.10e}" for l in losses)
+    + f" {float(cksum(params)):.10e} {float(cksum(stats8)):.10e}"
+    + f" {float(jnp.sum(inter)):.1f} {float(jnp.sum(union)):.1f}"
+)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -74,10 +162,7 @@ def _free_port():
     return port
 
 
-def test_two_process_cluster(tmp_path):
-    worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
-    coord = f"localhost:{_free_port()}"
+def _clean_env():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {
         k: v
@@ -85,23 +170,60 @@ def test_two_process_cluster(tmp_path):
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    return env, repo
+
+
+def _run_workers(worker_path, argv_per_proc, timeout=600):
+    env, repo = _clean_env()
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), coord, str(i)],
+            [sys.executable, str(worker_path)] + argv,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
             env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=repo,
         )
-        for i in range(2)
+        for argv in argv_per_proc
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=timeout)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         line = [l for l in out.splitlines() if l.startswith("RESULT")]
         assert line, out
-        outs.append(line[0].split()[2:])
+        outs.append(line[0].split()[1:])
+    return outs
+
+
+def test_two_process_cluster(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    coord = f"localhost:{_free_port()}"
+    outs = _run_workers(worker, [[coord, str(i)] for i in range(2)])
     # both hosts computed over the same global batch: identical loss/params
-    np.testing.assert_array_equal(outs[0], outs[1])
+    # (drop the leading pid column first)
+    np.testing.assert_array_equal(outs[0][1:], outs[1][1:])
+
+
+def test_two_process_production_seg_step(tmp_path):
+    """The PRODUCTION DDP-analog seg step (make_seg_train_step: per-device
+    BN, pmean'd grads, psum'd IoU counters) across a real process boundary:
+    2 procs x 4 devices must agree bit-for-bit with each other AND match the
+    single-process 8-device run of the identical global batch (reference
+    DDP launch: segmentation/tool/train.py:106-150)."""
+    worker = tmp_path / "seg_worker.py"
+    worker.write_text(_SEG_WORKER)
+    coord = f"localhost:{_free_port()}"
+    multi = _run_workers(
+        worker, [["multi", coord, str(i)] for i in range(2)], timeout=900
+    )
+    # the two hosts are one program: identical printouts, bit-for-bit
+    np.testing.assert_array_equal(multi[0], multi[1])
+    (single,) = _run_workers(worker, [["single"]], timeout=900)
+    a = np.array([float(x) for x in multi[0]])
+    b = np.array([float(x) for x in single])
+    # same mesh layout (8 devices in the same order), same per-device data
+    # and RNG fold-ins => the math is the same program; tolerate only
+    # reduction-order noise
+    np.testing.assert_allclose(a, b, rtol=1e-5)

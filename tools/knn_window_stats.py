@@ -1,7 +1,11 @@
 """Guard-failure diagnostics for the window-kNN kernel at the four seg-model
 call sites (batch 2 x 80k synthetic rooms).  Prints, per call, how many
-queries fell back and why (kth-distance > cell pitch / window overflow /
-outside grid) — the tuning signal for grid2d/w_budget/tier sizes.
+queries fell back and the guard-trigger breakdown — the tuning signal for
+grid2d/w_budget/tier sizes.  Under the margin-tightened guard the columns
+are: ``kth>margin`` (kth distance exceeded the clamped window margin — a
+real exactness fallback), ``overflow`` (candidate window exceeded the DMA
+budget), and ``overhang>0`` (queries whose search sphere merely pokes past
+the grid edge; these are clamped, NOT necessarily fallbacks).
 
 Run on TPU: python tools/knn_window_stats.py
 """
@@ -52,8 +56,8 @@ def main():
             n_bad, n_kth, n_ovf, n_out = stats[bi]
             print(
                 f"{name:26s} sample {bi}: bad={n_bad:6d} "
-                f"(kth>{'':0s}pitch {n_kth:6d}, overflow {n_ovf:6d}, "
-                f"outside {n_out:4d}) of {qs.shape[1]}   [{dt:.2f}s incl compile]"
+                f"(kth>margin {n_kth:6d}, overflow {n_ovf:6d}, "
+                f"overhang>0 {n_out:4d}) of {qs.shape[1]}   [{dt:.2f}s incl compile]"
             )
 
 

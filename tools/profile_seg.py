@@ -66,10 +66,6 @@ def aggregate_xplane(logdir, n_iters):
         with open(path, "rb") as f:
             xs.ParseFromString(f.read())
         for plane in xs.planes:
-            if "TPU" not in plane.name or "#Chip" not in plane.name.replace(
-                "device:", ""
-            ) and "TPU" not in plane.name:
-                pass
             if "TPU" not in plane.name:
                 continue
             ev_names = {m.id: m.name for m in plane.event_metadata.values()}

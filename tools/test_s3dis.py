@@ -78,7 +78,7 @@ def main():
     ckpt = BestCheckpointer(os.path.join(exp, "checkpoints"))
     template = {"params": state.params, "batch_stats": state.batch_stats}
     if args.model_path or ckpt.exists():
-        restored = ckpt.restore(template)
+        restored = ckpt.restore(template, partial=True)
         state = state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
         )
@@ -177,6 +177,7 @@ def main():
             f"class {i} ({LABEL2CLASS[i]}): IoU/Acc "
             f"{iou_class[i] * 100:.2f}/{acc_class[i] * 100:.2f}"
         )
+    return float(miou), float(macc), float(allacc)
 
 
 if __name__ == "__main__":

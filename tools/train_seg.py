@@ -407,6 +407,7 @@ def main():
         train_loader.close()
     writer.close()
     logger.info(f"done; best mIoU {best_iou * 100:.2f}")
+    return best_iou
 
 
 if __name__ == "__main__":
