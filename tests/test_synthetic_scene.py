@@ -128,6 +128,17 @@ class TestSegCLIMicroRun:
         import train_seg as train_seg_cli
         import test_s3dis as test_s3dis_cli
 
+        # the CLIs enable the PERSISTENT compilation cache — a process-global
+        # jax.config flip that would leak into every later suite test AND
+        # share the on-disk cache with any concurrently-running CLI process
+        # (observed: concurrent cache read/write segfaulted a later test's
+        # backend_compile in two full-suite runs).  Tests compile cache-less.
+        import repsurf_tpu.utils.platform as platform_mod
+
+        monkeypatch.setattr(
+            platform_mod, "enable_compilation_cache", lambda path=None: None
+        )
+
         log_root = str(tmp_path / "log")
 
         # --- 2 epochs with the freeze flip at epoch 2 ---

@@ -157,7 +157,31 @@ def main():
             f"pos {dp:.2e} feat {df:.2e}",
         )
 
-    print(f"\n{10 - len(failures)}/10 checks passed")
+    # 11. window-kNN guard quietness at production shapes: a tier/grid
+    # regression that silently sends queries to the brute-force fallback
+    # looks like a perf mystery, not a failure (it cost ~150 ms/step once,
+    # round 2) — pin the measured O(10)-per-sample fallback counts here.
+    from repsurf_tpu.ops.sampling import farthest_point_sample
+
+    room = jnp.asarray(
+        np.stack([synthetic_room(80000, rng=rng) for _ in range(2)])
+    )
+    i20 = farthest_point_sample(room, 20000)
+    q20k = jnp.take_along_axis(room, np.asarray(i20)[..., None], axis=1)
+    worst = 0
+    for nm, k, pts, qs in (
+        ("umbrella k=9 self", 9, room, room),
+        ("sa1 k=32 80k->20k", 32, room, q20k),
+    ):
+        _, _, stats = jax.jit(
+            lambda p, q, k=k: knn_window(k, p, q, debug_counts=True)
+        )(pts, qs)
+        bad = int(np.asarray(stats)[:, 0].max())
+        worst = max(worst, bad)
+        print(f"      guard fallbacks [{nm}]: max/sample {bad}")
+    check("window-kNN guard quiet (fallbacks <= 64/sample)", worst <= 64)
+
+    print(f"\n{11 - len(failures)}/11 checks passed")
     sys.exit(1 if failures else 0)
 
 
