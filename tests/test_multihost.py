@@ -96,6 +96,15 @@ from repsurf_tpu.train import train_seg
 
 if mode == "multi":
     assert process_info() == (pid, 2)
+    # Establish the 8-device Gloo clique NOW, before the minutes-long step
+    # compile: the clique rendezvous has a hard 30 s KV-store deadline, and
+    # the two processes' first big-program executions can skew past it on a
+    # contended host (observed once in-suite: GetKeyValue DEADLINE_EXCEEDED
+    # after 30 s while the peer was still in LLVM).  This tiny barrier
+    # compiles in seconds on both sides; the established context is reused
+    # by the step's same-clique collectives.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("gloo-clique-warmup")
 assert len(jax.devices()) == 8, len(jax.devices())
 
 mesh = make_mesh()
