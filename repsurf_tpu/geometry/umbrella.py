@@ -105,6 +105,7 @@ def umbrella_features(
     random_inv_sign=None,
     impl="auto",
     interpret=False,
+    out_dtype=jnp.float32,
 ):
     """Full umbrella geometry stage: points -> per-fan surface features.
 
@@ -125,6 +126,10 @@ def umbrella_features(
       return_dist: include the plane-constant channel.
       valid: optional [B] int32 counts.
       random_inv_sign: optional [B] float (+-1) per-sample normal inversion.
+      out_dtype: float32, or bfloat16 (Pallas route only) to emit features
+        pre-rounded to bf16 — the value any default-precision MXU consumer
+        sees either way, at half the HBM bytes (ops/pallas/umbrella.py
+        _fan_geometry_pack_tq).  The XLA route ignores it (always f32).
 
     Returns:
       feat [B, N, G, C]; G = k-1 ('cls') or k, C = 10 or 9.
@@ -153,7 +158,7 @@ def umbrella_features(
 
     if impl == "pallas":
         feat = _umbrella_pallas_xla_vjp(
-            xyz, valid, k, return_dist, style, interpret
+            xyz, valid, k, return_dist, style, interpret, out_dtype
         )
         if random_inv_sign is not None:
             # the kernel leaves normals un-inverted; the +-1 sample sign on
@@ -167,7 +172,10 @@ def umbrella_features(
                 lo, hi = 6, 10  # normal 6:9 + pos 9
             chan = jnp.arange(C)
             inv = random_inv_sign[:, None, None, None]
-            feat = feat * jnp.where((chan >= lo) & (chan < hi), inv, 1.0)
+            # stay in the feature dtype: x * (+-1) is exact in bf16 too, and
+            # an f32 multiplier would silently promote the whole tensor back
+            sign = jnp.where((chan >= lo) & (chan < hi), inv, 1.0)
+            feat = feat * sign.astype(feat.dtype)
         return feat
 
     sort_rot = fixed_rotation_matrix() if style == "seg" else None
@@ -187,8 +195,8 @@ def umbrella_features(
     return jnp.concatenate([t_center, polar, normal], axis=-1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _umbrella_pallas_xla_vjp(xyz, valid, k, return_dist, style, interpret):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _umbrella_pallas_xla_vjp(xyz, valid, k, return_dist, style, interpret, out_dtype):
     """Pallas umbrella forward with the XLA composition as its gradient.
 
     The fused kernel (ops/pallas/umbrella.py) defines no backward of its
@@ -211,15 +219,18 @@ def _umbrella_pallas_xla_vjp(xyz, valid, k, return_dist, style, interpret):
         style=style,
         valid=valid,
         interpret=interpret,
+        out_dtype=out_dtype,
     )
 
 
-def _umbrella_pallas_fwd(xyz, valid, k, return_dist, style, interpret):
-    out = _umbrella_pallas_xla_vjp(xyz, valid, k, return_dist, style, interpret)
+def _umbrella_pallas_fwd(xyz, valid, k, return_dist, style, interpret, out_dtype):
+    out = _umbrella_pallas_xla_vjp(
+        xyz, valid, k, return_dist, style, interpret, out_dtype
+    )
     return out, (xyz, valid)
 
 
-def _umbrella_pallas_bwd(k, return_dist, style, interpret, res, g):
+def _umbrella_pallas_bwd(k, return_dist, style, interpret, out_dtype, res, g):
     xyz, valid = res
 
     def xla_route(x):
@@ -228,7 +239,7 @@ def _umbrella_pallas_bwd(k, return_dist, style, interpret, res, g):
         )
 
     _, vjp = jax.vjp(xla_route, xyz)
-    (dx,) = vjp(g)
+    (dx,) = vjp(g.astype(jnp.float32))
     d_valid = (
         None if valid is None else np.zeros(valid.shape, dtype=jax.dtypes.float0)
     )

@@ -85,6 +85,10 @@ class UmbrellaSurfaceConstructor(nn.Module):
             return_dist=self.return_dist,
             valid=valid,
             random_inv_sign=inv_sign,
+            # bf16 features are the value the first Linear's default-precision
+            # MXU matmul would truncate f32 to anyway — bit-identical logits
+            # at half the HBM bytes (the XLA route ignores this and stays f32)
+            out_dtype=jnp.bfloat16,
         )  # [B, N, G, C]
 
         mask = None if valid is None else counts_to_mask(valid, N)[:, :, None]

@@ -392,15 +392,28 @@ def _umbrella_tq_kernel(
     gz = gz - qz
 
     out_ref[0] = _fan_geometry_pack_tq(
-        rotate, return_dist, style, g_count, fani, gx, gy, gz
+        rotate, return_dist, style, g_count, fani, gx, gy, gz,
+        out_dtype=out_ref.dtype,
     )
 
 
-def _fan_geometry_pack_tq(rotate, return_dist, style, g_count, fani, gx, gy, gz):
+def _fan_geometry_pack_tq(
+    rotate, return_dist, style, g_count, fani, gx, gy, gz,
+    out_dtype=jnp.float32,
+):
     """Fan geometry + packing with fans on SUBLANES ([g_sub, bq] arrays).
 
     Same formulas / tie-breaks / repair as _fan_geometry_pack (see there for
     the reference citations); returns packed [G*C, bq] rows (row g*C + c).
+
+    out_dtype=bfloat16 emits the features ROUNDED TO bf16 straight from the
+    pack matmul: the permutation has one non-zero (1.0) per output row, so
+    bf16 operands reproduce exactly round(f32 value) — the same value XLA's
+    default matmul precision would truncate the f32 features to in the first
+    MLP layer anyway.  Downstream MXU consumers therefore see bit-identical
+    operands while the [B, G*C, N] output, its transpose and every
+    elementwise op in between move half the bytes and skip the convert
+    fusion in front of the MLP (the round-3 tax, PERF.md).
     """
     g_sub, bq = gx.shape
     names = _feature_order(style, return_dist)
@@ -511,11 +524,17 @@ def _fan_geometry_pack_tq(rotate, return_dist, style, g_count, fani, gx, gy, gz)
     col_o = jax.lax.broadcasted_iota(jnp.int32, (out_rows, c_count * g_sub), 1)
     g_of = row_o // c_count
     c_of = row_o - g_of * c_count
-    perm = (
-        (col_o == c_of * g_sub + g_of) & (row_o < gc) & (g_of < g_count)
-    ).astype(jnp.float32)
+    keep = (col_o == c_of * g_sub + g_of) & (row_o < gc) & (g_of < g_count)
+    if out_dtype == jnp.bfloat16:
+        # one 1.0 per row: 1.0(bf16) x round_bf16(value) accumulated in f32
+        # == round_bf16(value) exactly (see docstring)
+        return jnp.dot(
+            keep.astype(jnp.bfloat16),
+            allch.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
     return jnp.dot(
-        perm,
+        keep.astype(jnp.float32),
         allch,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -523,7 +542,8 @@ def _fan_geometry_pack_tq(rotate, return_dist, style, g_count, fani, gx, gy, gz)
 
 
 def _umbrella_tq(
-    xyz, k, drop_self, rotate, return_dist, style, valid, block_q, interpret
+    xyz, k, drop_self, rotate, return_dist, style, valid, block_q, interpret,
+    out_dtype=jnp.float32,
 ):
     """Transposed-layout dispatch (see _umbrella_tq_kernel)."""
     B, N, _ = xyz.shape
@@ -569,7 +589,7 @@ def _umbrella_tq(
             return_dist, style,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, out_rows, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, m_pad), out_dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20),
         interpret=interpret,
     )(valid.astype(jnp.int32), xyz_p, q_t)
@@ -840,7 +860,7 @@ def _umbrella_slab(
     jax.jit,
     static_argnames=(
         "k", "drop_self", "rotate", "return_dist", "style", "block_q",
-        "interpret", "impl",
+        "interpret", "impl", "out_dtype",
     ),
 )
 def umbrella_features_pallas(
@@ -854,6 +874,7 @@ def umbrella_features_pallas(
     block_q=None,
     interpret=False,
     impl="auto",
+    out_dtype=jnp.float32,
 ):
     """Fused umbrella geometry: points -> per-fan surface features.
 
@@ -874,9 +895,13 @@ def umbrella_features_pallas(
       style: 'cls' | 'seg' channel concat order.
       valid: optional [B] int32 valid counts.
       impl: 'auto' | 'slab' | 'full'.
+      out_dtype: float32, or bfloat16 ('tq' impl only) to emit the features
+        pre-rounded to bf16 — bit-identical operands for any default-
+        precision MXU consumer at half the HBM bytes (see
+        _fan_geometry_pack_tq).
 
     Returns:
-      feat: [B, N, G, C] float32, C = 10 (return_dist) or 9.
+      feat: [B, N, G, C] out_dtype, C = 10 (return_dist) or 9.
     """
     B, N, _ = xyz.shape
     G = k - 1 if drop_self else k
@@ -888,8 +913,10 @@ def umbrella_features_pallas(
     if impl == "tq":
         return _umbrella_tq(
             xyz, k, drop_self, rotate, return_dist, style, valid, block_q,
-            interpret,
+            interpret, out_dtype=out_dtype,
         )
+    if out_dtype != jnp.float32:
+        raise ValueError("out_dtype=bfloat16 is only supported by the 'tq' impl")
     if G * C > _LANES:
         raise ValueError(f"umbrella fans*channels {G * C} exceed {_LANES} lanes")
     if impl == "auto":

@@ -61,6 +61,40 @@ def pipelined(fn, *args, n=30, label=""):
     return ms
 
 
+def main_ops(n_iters=20, top=40):
+    """Per-op xplane profile of the FULL eval pipeline (the bench.py metric).
+
+    Stage stopwatching under the tunnel misled two rounds (see ROADMAP); this
+    is the per-op device view that found the round-3 conversion-fusion tax,
+    now available for the classification path too (the seg twin lives in
+    tools/profile_seg.py and shares its aggregation code).
+    """
+    from profile_seg import trace  # same dir; xplane aggregation utilities
+
+    batch, n_raw = 64, 2048
+    cfg = ClsConfig()
+    state = create_state(cfg, key=jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(rng.randn(batch, n_raw, 3).astype(np.float32))
+    v = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def full(points):
+        pts = fps_sample(points, cfg.num_point)
+        out = state.apply_fn(v, pts, train=False)
+        return out.sum()
+
+    np.asarray(full(points))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(40):
+        out = full(points)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / 40
+    print(f"full pipeline: {dt * 1e3:.2f} ms = {batch / dt:.0f} clouds/sec")
+    trace(lambda: full(points), n_iters, top, "cls eval pipeline")
+
+
 def main():
     batch, n_raw = 64, 2048
     cfg = ClsConfig()
@@ -238,4 +272,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--ops" in sys.argv:
+        main_ops()
+    else:
+        main()

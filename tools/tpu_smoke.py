@@ -20,6 +20,10 @@ Checks:
   8. Transposed umbrella kernel == lane kernel (bit-exact).
   9/10. Ball-group feature kernels, both channel routes, vs the composed
      chain (rel/feat bit-exact, polar <= 2e-6 FMA drift).
+  11. Window-kNN guard quietness at production shapes (<= 64 fallbacks
+     per sample; a regression to brute-force must fail loudly).
+  12. bf16 umbrella emission: round-exact vs the f32 output and
+     bit-identical through a default-precision MXU matmul.
 """
 
 import os
@@ -181,7 +185,39 @@ def main():
         print(f"      guard fallbacks [{nm}]: max/sample {bad}")
     check("window-kNN guard quiet (fallbacks <= 64/sample)", worst <= 64)
 
-    print(f"\n{11 - len(failures)}/11 checks passed")
+    # 12. bf16 umbrella emission contract (ops/pallas/umbrella.py
+    # _fan_geometry_pack_tq): the bf16 output must equal round_bf16(f32
+    # output) elementwise, AND a default-precision MXU matmul must produce
+    # BIT-IDENTICAL results from either — that identity is what lets the
+    # classifier consume the half-size tensor with unchanged logits.
+    u32 = jax.jit(
+        lambda x: umbrella_features_pallas(x, 9, drop_self=True, style="cls")
+    )(xyz)
+    u16 = jax.jit(
+        lambda x: umbrella_features_pallas(
+            x, 9, drop_self=True, style="cls", out_dtype=jnp.bfloat16
+        )
+    )(xyz)
+    same_round = (np.asarray(u16) == np.asarray(
+        u32.astype(jnp.bfloat16))).all()
+    w = jnp.asarray(rng.randn(10, 16).astype(np.float32))
+    d32 = np.asarray(
+        jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))(
+            u32, w
+        )
+    )
+    d16 = np.asarray(
+        jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))(
+            u16, w
+        )
+    )
+    check(
+        "umbrella bf16 emission (round-exact + MXU bit-identical)",
+        same_round and (d32 == d16).all(),
+        f"round {same_round} dot {(d32 == d16).mean():.4f}",
+    )
+
+    print(f"\n{12 - len(failures)}/12 checks passed")
     sys.exit(1 if failures else 0)
 
 
